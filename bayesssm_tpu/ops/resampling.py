@@ -1,0 +1,144 @@
+"""Vectorized resampling kernels.
+
+TPU-native replacement for the reference's native resampling layer
+(/root/reference/src/resampling.cpp:5-66 and the R dispatch wrappers in
+/root/reference/R/resampling.R:13-69). The reference draws ancestor indices
+with a serial inverse-CDF walk in C++; here the same three schemes
+(multinomial / stratified / systematic) are expressed as
+``cumsum -> positions -> searchsorted -> gather`` so they vectorize over a
+``[chains, particles]`` layout and batch cleanly under ``vmap``/``shard_map``.
+
+Distributional contracts (matching src/resampling.cpp):
+  * multinomial — iid inverse-CDF draws, ``u_j ~ U[0,1)``            (:5-13)
+  * stratified  — one draw per stratum, ``u_j = (j + U_j)/n``        (:16-40)
+  * systematic  — shared offset, ``u_j = (j + U)/n``                 (:43-66)
+with ancestor ``a_j = min{ i : cdf_i >= u_j }`` (the C++ walks the cumulative
+sum with ``>=`` semantics; ``searchsorted(..., side='left')`` is identical).
+
+Masked-particle support: ``num_alive`` (a traced scalar or per-batch array)
+restricts resampling to the first ``num_alive`` lanes — the mechanism that
+lets PMMH keep the reference's per-chain tuned particle counts (SURVEY.md Q9)
+under a single static shape. Dead output lanes receive position 1.0 and are
+clipped onto the last alive ancestor; callers keep them masked out.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "resample_indices",
+    "resample_multinomial",
+    "resample_stratified",
+    "resample_systematic",
+    "gather_particles",
+    "RESAMPLE_METHODS",
+]
+
+RESAMPLE_METHODS = ("stratified", "systematic", "multinomial")
+
+
+def _batched_searchsorted(cdf: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """searchsorted(side='left') over matching leading batch dims."""
+    if cdf.ndim == 1:
+        return jnp.searchsorted(cdf, pos, side="left")
+    batch = cdf.shape[:-1]
+    flat_cdf = cdf.reshape((-1, cdf.shape[-1]))
+    flat_pos = pos.reshape((-1, pos.shape[-1]))
+    out = jax.vmap(lambda c, p: jnp.searchsorted(c, p, side="left"))(
+        flat_cdf, flat_pos
+    )
+    return out.reshape(batch + (pos.shape[-1],))
+
+
+def _positions(key, method: str, batch_shape, n: int, num_alive, dtype):
+    """Inverse-CDF query positions for each output slot."""
+    slots = jnp.arange(n, dtype=dtype)
+    if method == "systematic":
+        u = jax.random.uniform(key, batch_shape, dtype=dtype)
+        pos = (slots + u[..., None]) / num_alive[..., None]
+    elif method == "stratified":
+        u = jax.random.uniform(key, batch_shape + (n,), dtype=dtype)
+        pos = (slots + u) / num_alive[..., None]
+    elif method == "multinomial":
+        pos = jax.random.uniform(key, batch_shape + (n,), dtype=dtype)
+    else:
+        raise ValueError(
+            f"unknown resampling method {method!r}; expected one of {RESAMPLE_METHODS}"
+        )
+    # Slots at or beyond num_alive are dead: aim them at the end of the CDF.
+    alive = slots < num_alive[..., None]
+    return jnp.where(alive, pos, jnp.asarray(1.0, dtype))
+
+
+def resample_indices(
+    key: jax.Array,
+    weights: jnp.ndarray,
+    method: str = "systematic",
+    num_alive: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Draw ancestor indices from self-normalized ``weights``.
+
+    Args:
+      key: PRNG key.
+      weights: ``[..., n]`` self-normalized weights (zeros on masked lanes).
+      method: one of ``stratified | systematic | multinomial``.
+      num_alive: optional traced count of live lanes per batch element
+        (defaults to the static lane count ``n``).
+
+    Returns:
+      ``[..., n]`` int32 ancestor indices in ``[0, num_alive)``.
+    """
+    n = weights.shape[-1]
+    batch_shape = weights.shape[:-1]
+    dtype = weights.dtype
+    if num_alive is None:
+        num_alive = jnp.full(batch_shape, n, dtype=dtype)
+    else:
+        num_alive = jnp.broadcast_to(
+            jnp.asarray(num_alive, dtype=dtype), batch_shape
+        )
+    cdf = jnp.cumsum(weights, axis=-1)
+    pos = _positions(key, method, batch_shape, n, num_alive, dtype)
+    idx = _batched_searchsorted(cdf, pos)
+    # Float cumsum error can leave cdf[last_alive] slightly below the largest
+    # query position; clamp into the alive range.
+    last_alive = (num_alive - 1).astype(jnp.int32)
+    return jnp.clip(idx.astype(jnp.int32), 0, last_alive[..., None])
+
+
+def gather_particles(particles: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather particle rows by ancestor index.
+
+    ``particles``: ``[..., n, d]`` or ``[..., n]``; ``idx``: ``[..., n]``.
+    The R wrappers' vector/matrix dual dispatch
+    (/root/reference/R/resampling.R:13-29) collapses to one take-along-axis.
+    """
+    if particles.ndim == idx.ndim:
+        return jnp.take_along_axis(particles, idx, axis=-1)
+    return jnp.take_along_axis(particles, idx[..., None], axis=-2)
+
+
+def _resample(method):
+    def fn(key, particles, weights, num_alive=None):
+        n = weights.shape[-1]
+        pn = particles.shape[-2] if particles.ndim > weights.ndim else particles.shape[-1]
+        if pn != n:
+            raise ValueError(
+                "Number of particles must match the length of weights"
+            )
+        idx = resample_indices(key, weights, method=method, num_alive=num_alive)
+        return gather_particles(particles, idx)
+
+    fn.__name__ = f"resample_{method}"
+    fn.__doc__ = (
+        f"{method.capitalize()} resampling: draw ancestors and gather particles.\n"
+        "Mirrors /root/reference/R/resampling.R wrapper semantics."
+    )
+    return fn
+
+
+resample_multinomial = _resample("multinomial")
+resample_stratified = _resample("stratified")
+resample_systematic = _resample("systematic")
