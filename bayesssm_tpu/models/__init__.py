@@ -1,0 +1,14 @@
+from bayesssm_tpu.models import distributions
+from bayesssm_tpu.models.sinusoidal import sinusoidal_model, simulate_sinusoidal
+from bayesssm_tpu.models.lgss import lgss_model, simulate_lgss
+from bayesssm_tpu.models.sir import sir_model, simulate_sir
+
+__all__ = [
+    "distributions",
+    "sinusoidal_model",
+    "simulate_sinusoidal",
+    "lgss_model",
+    "simulate_lgss",
+    "sir_model",
+    "simulate_sir",
+]

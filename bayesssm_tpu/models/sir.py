@@ -1,0 +1,144 @@
+"""Stochastic SIR epidemic model — the vignette parity/benchmark model.
+
+Re-expresses the reference's per-particle Gillespie event loop
+(/root/reference/vignettes/articles/stochastic-sir-model.Rmd:152-176) as a
+fully vectorized exact simulation: one ``lax.while_loop`` advances ALL
+particles' continuous-time Markov chains simultaneously, with per-lane
+active masks; the loop exits when every lane has passed the unit time
+horizon. This keeps the exact jump-process distribution (unlike
+tau-leaping) while remaining a single SIMD program over
+``[num_particles, 2]`` states — the hardest model-side rewrite flagged in
+SURVEY.md §7.
+
+Model: closed population of ``n_total``; latent state (S, I); infection
+rate lambda/n_total * S * I, removal rate gamma * I; observation
+``Y_t ~ Pois(I(t))`` at integer times. Priors lambda ~ HalfNormal(1),
+gamma ~ HalfNormal(2), both log-transformed (vignette:264-333).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesssm_tpu.models.distributions import halfnorm_logpdf, pois_logpmf
+
+__all__ = ["sir_model", "simulate_sir"]
+
+# Hard cap on Gillespie events per unit interval; with rates bounded by
+# (lambda/4) n + gamma n the true event count is far below this for the
+# benchmark population sizes.
+MAX_EVENTS = 100_000
+
+
+def gillespie_step(key, state, lam, gamma, n_total, t_end=1.0):
+    """Advance all particles' (S, I) by one unit of continuous time.
+
+    ``state``: float [n, 2]. Exact stochastic simulation; all lanes advance
+    in lock-step with masking, so the compiled loop runs
+    max-events-over-lanes iterations.
+    """
+    s = state[..., 0]
+    i = state[..., 1]
+    t = jnp.zeros_like(s)
+    active = i > 0
+
+    def cond(carry):
+        _, _, _, _, active, steps = carry
+        return jnp.logical_and(jnp.any(active), steps < MAX_EVENTS)
+
+    def body(carry):
+        key, s, i, t, active, steps = carry
+        key, k_dt, k_ev = jax.random.split(key, 3)
+        rate_inf = (lam / n_total) * s * i
+        rate_rem = gamma * i
+        rate_tot = rate_inf + rate_rem
+        live = jnp.logical_and(active, rate_tot > 0)
+        safe_rate = jnp.where(live, rate_tot, 1.0)
+        dt = jax.random.exponential(k_dt, s.shape) / safe_rate
+        t_new = t + dt
+        fire = jnp.logical_and(live, t_new <= t_end)
+        u = jax.random.uniform(k_ev, s.shape)
+        infect = u < rate_inf / safe_rate
+        s = jnp.where(fire & infect, s - 1.0, s)
+        i = jnp.where(
+            fire, jnp.where(infect, i + 1.0, i - 1.0), i
+        )
+        t = jnp.where(live, t_new, t)
+        active = fire & (i > 0)
+        return key, s, i, t, active, steps + 1
+
+    _, s, i, _, _, _ = jax.lax.while_loop(
+        cond, body, (key, s, i, t, active, jnp.zeros((), jnp.int32))
+    )
+    return jnp.stack([s, i], axis=-1)
+
+
+def sir_model(n_total: int = 500, init_infected: int = 70):
+    """Return (model_fns, log_priors, param_transform) for the SIR model.
+
+    Mirrors the vignette's init/transition/likelihood functions
+    (stochastic-sir-model.Rmd:283-310): all particles start at the known
+    initial state, the transition is one unit of exact Gillespie dynamics,
+    and the likelihood is Poisson in the infectious count.
+    """
+    s0 = float(n_total - init_infected)
+    i0 = float(init_infected)
+
+    def init_fn(key, num_particles):
+        return jnp.tile(
+            jnp.array([s0, i0], dtype=jnp.float32), (num_particles, 1)
+        )
+
+    def transition_fn(key, particles, lam, gamma):
+        return gillespie_step(key, particles, lam, gamma, float(n_total))
+
+    def log_likelihood_fn(y, particles):
+        return pois_logpmf(y, particles[..., 1])
+
+    log_priors = {
+        "lam": lambda v: halfnorm_logpdf(v, 1.0),
+        "gamma": lambda v: halfnorm_logpdf(v, 2.0),
+    }
+    param_transform = {"lam": "log", "gamma": "log"}
+    return (init_fn, transition_fn, log_likelihood_fn), log_priors, param_transform
+
+
+def simulate_sir(
+    seed=1405,
+    n_total=500,
+    init_infected=70,
+    t_max=10,
+    lam=0.5,
+    gamma=0.2,
+):
+    """Host-side exact simulation of one epidemic + Poisson observations.
+
+    Returns (states [t_max, 2], y [t_max]) like the vignette's
+    simulate_epidemic (stochastic-sir-model.Rmd:178-194).
+    """
+    rng = np.random.default_rng(seed)
+    s = float(n_total - init_infected)
+    i = float(init_infected)
+    states = np.zeros((t_max, 2))
+    for t in range(t_max):
+        tt = 0.0
+        while i > 0:
+            rate_inf = lam / n_total * s * i
+            rate_rem = gamma * i
+            rate_tot = rate_inf + rate_rem
+            if rate_tot <= 0:
+                break
+            dt = rng.exponential(1.0 / rate_tot)
+            if tt + dt > 1.0:
+                break
+            tt += dt
+            if rng.uniform() < rate_inf / rate_tot:
+                s -= 1.0
+                i += 1.0
+            else:
+                i -= 1.0
+        states[t] = (s, i)
+    y = rng.poisson(states[:, 1])
+    return states, y.astype(np.float64)

@@ -1,0 +1,386 @@
+"""Particle Marginal Metropolis-Hastings driver.
+
+TPU-native re-design of /root/reference/R/pmmh.R:243-630. The reference
+runs one serial R process per chain; here every chain is a lane of a
+``vmap`` over ``[num_chains]`` arrays, the MH loop is a ``lax.scan`` whose
+body runs a full particle-filter scan, and the chains axis can be sharded
+across a device mesh. Execution happens in two jitted phases with one host
+sync between them:
+
+  phase 1 (tuning)  — per-chain pilot RWM chain + pilot variance run
+                      (R/pmmh.R:345-389, R/pmmh_tuning.R), vmapped.
+  host sync         — the tuned per-chain particle counts (Q9) are pulled to
+                      the host; the static particle-lane bound for phase 2 is
+                      the max count rounded up to a multiple of 64 (masked
+                      lanes make each chain use exactly its own target_n).
+  phase 2 (sampling)— the m-step MH loop (R/pmmh.R:422-500), vmapped.
+
+Matching reference semantics: MVN proposals in transformed space with the
+delta-method covariance `J cov(theta) J^T` built from the *untransformed*
+pilot covariance (Q6, R/pmmh.R:377-389); a proposal outside the prior
+support counts as a rejection (unlike the pilot chain's re-propose loop,
+Q7); NaN acceptance ratios force rejection (R/pmmh.R:488-490); per-chain
+tuning (Q9). Differences (documented): the PF is evaluated even for
+out-of-support proposals (branchless select instead of `next`), and chain
+RNG derives from fold_in(key, chain_index) so results are independent of
+mesh layout — the analogue of the reference's scheduling-independent
+per-chain seeds (R/pmmh.R:511, tested in test-pmmh.R:468-503).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from bayesssm_tpu.diagnostics.ess import ess_matrix
+from bayesssm_tpu.diagnostics.rhat import rhat_matrix
+from bayesssm_tpu.output import PMMHOutput
+from bayesssm_tpu.pmmh.priors import sum_log_priors
+from bayesssm_tpu.pmmh.transforms import (
+    back_transform_params,
+    log_jacobian,
+    resolve_transforms,
+    transform_params,
+)
+from bayesssm_tpu.pmmh.tuning import (
+    TuneControl,
+    _make_pf_loglike,
+    default_tune_control,
+    run_pilot_chain,
+)
+from bayesssm_tpu.utils.signatures import check_params_match
+
+__all__ = ["pmmh"]
+
+_ALGO_BY_NAME = {
+    "bootstrap_filter": "BPF",
+    "auxiliary_filter": "APF",
+    "resample_move_filter": "RMPF",
+    "BPF": "BPF",
+    "APF": "APF",
+    "RMPF": "RMPF",
+}
+
+
+def _resolve_algorithm(pf_wrapper) -> str:
+    """Accept a filter callable, its name, or an algorithm code."""
+    if pf_wrapper is None:
+        return "BPF"
+    name = pf_wrapper if isinstance(pf_wrapper, str) else getattr(
+        pf_wrapper, "__name__", str(pf_wrapper)
+    )
+    if name not in _ALGO_BY_NAME:
+        raise ValueError(
+            "pf_wrapper must be bootstrap_filter, auxiliary_filter, "
+            "resample_move_filter (or 'BPF'/'APF'/'RMPF')"
+        )
+    return _ALGO_BY_NAME[name]
+
+
+def _stack_init_params(pilot_init_params, num_chains, param_names):
+    """Validate and stack per-chain initial parameters to [chains, P].
+
+    Mirrors R/pmmh.R:273-279: a list with one entry per chain, all entries
+    sharing the same parameter names; a single dict is broadcast.
+    """
+    if isinstance(pilot_init_params, dict):
+        pilot_init_params = [pilot_init_params] * num_chains
+    if len(pilot_init_params) != num_chains:
+        raise ValueError(
+            "pilot_init_params must have one entry per chain "
+            f"(got {len(pilot_init_params)}, num_chains={num_chains})"
+        )
+    names0 = set(pilot_init_params[0])
+    for entry in pilot_init_params[1:]:
+        if set(entry) != names0:
+            raise ValueError(
+                "pilot_init_params entries must share the same parameter names"
+            )
+    if len(names0) == 0:
+        raise ValueError("pilot_init_params must contain at least one parameter.")
+    missing = [p for p in param_names if p not in names0]
+    if missing:
+        raise ValueError(
+            "Parameters in functions do not match the names in pilot_init_params"
+        )
+    return np.array(
+        [[float(entry[p]) for p in param_names] for entry in pilot_init_params],
+        dtype=np.float32,
+    )
+
+
+def _proposal_factor(cov: np.ndarray) -> np.ndarray:
+    """PSD-tolerant factor L with L L^T = cov (eigen-based, like
+    MASS::mvrnorm's eigendecomposition proposal)."""
+    cov = 0.5 * (cov + cov.T)
+    eigval, eigvec = np.linalg.eigh(cov)
+    eigval = np.clip(eigval, 0.0, None)
+    return (eigvec * np.sqrt(eigval)[None, :]).astype(np.float32)
+
+
+def pmmh(
+    pf_wrapper,
+    y,
+    m: int,
+    init_fn,
+    transition_fn,
+    log_likelihood_fn,
+    log_priors: dict,
+    pilot_init_params,
+    burn_in: int,
+    num_chains: int = 4,
+    aux_log_likelihood_fn=None,
+    move_fn=None,
+    obs_times=None,
+    resample_algorithm: str = "SISAR",
+    resample_fn: str = "stratified",
+    param_transform: Optional[dict] = None,
+    tune_control: Optional[TuneControl] = None,
+    verbose: bool = False,
+    return_latent_state_est: bool = False,
+    seed=None,
+    jacobian_convention: str = "consistent",
+    carry_weights: bool = False,
+    mesh=None,
+    chain_axis: str = "chains",
+    print_summary: bool = True,
+) -> PMMHOutput:
+    """Run PMMH with pilot tuning; returns a PMMHOutput.
+
+    Arguments mirror the reference's pmmh() (/root/reference/R/pmmh.R:243);
+    ``seed`` may be an int or a jax PRNG key. ``mesh`` optionally shards the
+    chains axis over devices (jax.sharding.Mesh with a ``chain_axis`` axis).
+    """
+    # ---------------- validation (R/pmmh.R:263-322) ----------------
+    if not isinstance(m, (int, np.integer)) or m < 1:
+        raise ValueError("m must be an integer >= 1")
+    if not isinstance(burn_in, (int, np.integer)) or not (0 <= burn_in <= m - 1):
+        raise ValueError("burn_in must be an integer in [0, m - 1]")
+    if not isinstance(num_chains, (int, np.integer)) or num_chains < 1:
+        raise ValueError("num_chains must be an integer >= 1")
+    if not isinstance(log_priors, dict) or len(log_priors) == 0:
+        raise ValueError("log_priors must be a non-empty dict of callables")
+
+    algorithm = _resolve_algorithm(pf_wrapper)
+    if algorithm == "APF" and aux_log_likelihood_fn is None:
+        raise ValueError("APF requires aux_log_likelihood_fn")
+    if algorithm == "RMPF" and move_fn is None:
+        raise ValueError("RMPF requires a move_fn")
+
+    param_names = list(log_priors.keys())
+    prior_fns = [log_priors[p] for p in param_names]
+    init_names = (
+        pilot_init_params
+        if isinstance(pilot_init_params, dict)
+        else pilot_init_params[0]
+    )
+    check_params_match(
+        init_fn, transition_fn, log_likelihood_fn, init_names, log_priors
+    )
+    theta0 = _stack_init_params(pilot_init_params, num_chains, param_names)
+
+    transforms = resolve_transforms(param_transform, param_names)
+    tune_control = tune_control or default_tune_control()
+
+    # Initial parameters must lie inside the prior support
+    # (R/pmmh_tuning.R:135-143).
+    for c in range(num_chains):
+        for j, fn in enumerate(prior_fns):
+            if not np.isfinite(float(fn(jnp.asarray(theta0[c, j])))):
+                raise ValueError(
+                    "Initial parameter values are invalid: some lie outside "
+                    "the prior support. Please provide valid starting values "
+                    "via pilot_init_params."
+                )
+
+    # ---------------- keys ----------------
+    if seed is None:
+        seed = int(np.random.SeedSequence().generate_state(1)[0])
+    if isinstance(seed, (int, np.integer)):
+        root_key = jax.random.key(int(seed))
+        seed_out = int(seed)
+    else:
+        root_key = seed
+        seed_out = None
+    chain_keys = jax.vmap(lambda c: jax.random.fold_in(root_key, c))(
+        jnp.arange(num_chains)
+    )
+
+    model_fns = (
+        init_fn, transition_fn, log_likelihood_fn,
+        aux_log_likelihood_fn, move_fn,
+    )
+    ys = jnp.asarray(y)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        chain_sharding = NamedSharding(mesh, P(chain_axis))
+        chain_keys = jax.device_put(chain_keys, chain_sharding)
+        theta0 = jax.device_put(jnp.asarray(theta0), chain_sharding)
+
+    # ---------------- phase 1: pilot tuning (vmapped over chains) -------
+    if verbose:
+        print(f"Running pilot chains for tuning ({num_chains} chains)...")
+
+    def tuning_phase(key, th0):
+        return run_pilot_chain(
+            key, ys, param_names, model_fns, prior_fns, th0, transforms,
+            tune_control, obs_times=obs_times, algorithm=algorithm,
+            jacobian_convention=jacobian_convention,
+            carry_weights=carry_weights,
+        )
+
+    tuned = jax.jit(jax.vmap(tuning_phase))(chain_keys, jnp.asarray(theta0))
+    theta_mean = np.asarray(tuned["pilot_theta_mean"], dtype=np.float64)
+    theta_cov = np.asarray(tuned["pilot_theta_cov"], dtype=np.float64)
+    target_n = np.asarray(tuned["target_n"], dtype=np.int64)
+
+    if verbose:
+        for c in range(num_chains):
+            print(f"Chain {c + 1}: pilot posterior mean {theta_mean[c]}")
+            print(f"Chain {c + 1}: pilot covariance\n{theta_cov[c]}")
+        print(f"Using {target_n} particles for PMMH:")
+
+    # Delta-method proposal covariance in z-space (Q6, R/pmmh.R:377-389).
+    prop_factors = np.zeros_like(theta_cov, dtype=np.float32)
+    for c in range(num_chains):
+        scale = np.ones(len(param_names))
+        for j, t in enumerate(transforms):
+            if t == "log":
+                scale[j] = 1.0 / theta_mean[c, j]
+            elif t == "logit":
+                scale[j] = 1.0 / (theta_mean[c, j] * (1.0 - theta_mean[c, j]))
+        cov_z = (scale[:, None] * theta_cov[c]) * scale[None, :]
+        prop_factors[c] = _proposal_factor(cov_z)
+
+    # Static particle-lane bound: max tuned count, padded to a multiple of
+    # 64 for TPU lane alignment; per-chain masking keeps each chain at its
+    # own target_n (Q9).
+    max_n = int(target_n.max())
+    max_particles = ((max_n + 63) // 64) * 64
+
+    # ---------------- phase 2: main PMMH chains ----------------
+    def main_phase(key, th_mean, factor, n_chain):
+        pf = _make_pf_loglike(
+            ys, None, param_names, model_fns, obs_times, algorithm,
+            resample_algorithm, resample_fn, carry_weights,
+            max_particles=max_particles,
+        )
+        p = len(param_names)
+        key, k0 = jax.random.split(key)
+        th_mean = th_mean.astype(jnp.float32)
+        ll0, se0 = pf(k0, th_mean, n=n_chain)
+
+        def step(carry, _):
+            key, theta, ll, se = carry
+            key, k_prop, k_pf, k_acc = jax.random.split(key, 4)
+            z = transform_params(theta, transforms)
+            zp = z + factor @ jax.random.normal(k_prop, (p,), dtype=z.dtype)
+            theta_prop = back_transform_params(zp, transforms)
+            lp_prop = sum_log_priors(theta_prop, prior_fns)
+            ll_prop, se_prop = pf(k_pf, theta_prop, n=n_chain)
+            log_ratio = (
+                ll_prop + lp_prop
+                + log_jacobian(theta_prop, transforms, jacobian_convention)
+            ) - (
+                ll + sum_log_priors(theta, prior_fns)
+                + log_jacobian(theta, transforms, jacobian_convention)
+            )
+            # NaN or out-of-support proposal -> forced rejection
+            # (R/pmmh.R:435-442, :488-490).
+            log_ratio = jnp.where(
+                jnp.isnan(log_ratio) | ~jnp.isfinite(lp_prop),
+                -jnp.inf, log_ratio,
+            )
+            accept = jnp.log(jax.random.uniform(k_acc)) < log_ratio
+            theta = jnp.where(accept, theta_prop, theta)
+            ll = jnp.where(accept, ll_prop, ll)
+            se = jnp.where(accept, se_prop, se)
+            return (key, theta, ll, se), (theta, se, accept)
+
+        (_, _, _, _), (thetas, ses, accepts) = lax.scan(
+            step, (key, th_mean, ll0, se0), None, length=m - 1
+        )
+        theta_chain = jnp.concatenate([th_mean[None], thetas], axis=0)
+        state_chain = jnp.concatenate([se0[None], ses], axis=0)
+        accept_rate = jnp.mean(accepts.astype(jnp.float32))
+        return theta_chain, state_chain, accept_rate
+
+    if verbose:
+        print("Running Particle MCMC chains with tuned settings...")
+
+    n_chain_arr = jnp.asarray(target_n, dtype=jnp.float32)
+    factors = jnp.asarray(prop_factors)
+    th_means = jnp.asarray(theta_mean, dtype=jnp.float32)
+    if mesh is not None:
+        n_chain_arr = jax.device_put(n_chain_arr, chain_sharding)
+        factors = jax.device_put(factors, chain_sharding)
+        th_means = jax.device_put(th_means, chain_sharding)
+
+    theta_chains, state_chains, accept_rates = jax.jit(
+        jax.vmap(main_phase)
+    )(chain_keys, th_means, factors, n_chain_arr)
+
+    theta_chains = np.asarray(theta_chains)  # [C, m, P]
+    accept_rates = np.asarray(accept_rates)
+
+    # ---------------- post-processing (R/pmmh.R:540-627) ----------------
+    post = theta_chains[:, burn_in:, :]  # [C, m_post, P]
+    theta_chain_dict = {
+        p: post[:, :, j] for j, p in enumerate(param_names)
+    }
+
+    param_ess, param_rhat = {}, {}
+    ess_message_shown = False
+    for j, p in enumerate(param_names):
+        mat = post[:, :, j].T  # [iters, chains]
+        if num_chains > 1:
+            param_ess[p] = float(ess_matrix(mat))
+        else:
+            param_ess[p] = float("nan")
+            if not ess_message_shown:
+                print(
+                    "ESS cannot be computed with only one chain "
+                    "Run at least 2 chains."
+                )
+                ess_message_shown = True
+        param_rhat[p] = float(rhat_matrix(mat)) if post.shape[1] >= 2 else float("nan")
+
+    result = PMMHOutput(
+        theta_chain=theta_chain_dict,
+        diagnostics={"ess": param_ess, "rhat": param_rhat},
+        latent_state_chain=(
+            np.asarray(state_chains)[:, burn_in:] if return_latent_state_est
+            else None
+        ),
+        acceptance_rate=accept_rates,
+        target_n=target_n,
+        seed=seed_out,
+    )
+
+    if print_summary:
+        print(result)
+
+    if any(
+        not np.isnan(v) and v < 400 for v in param_ess.values()
+    ):
+        warnings.warn(
+            "Some ESS values are below 400, indicating poor mixing. "
+            "Consider running the chains for more iterations."
+        )
+    if any(
+        not np.isnan(v) and v > 1.01 for v in param_rhat.values()
+    ):
+        warnings.warn(
+            "\nSome Rhat values are above 1.01, indicating that the chains "
+            "have not converged. \nConsider running the chains for more "
+            "iterations and/or increase burn_in."
+        )
+
+    return result

@@ -1,0 +1,144 @@
+"""Model-family tests: sinusoidal, LGSS, and the vectorized Gillespie SIR."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesssm_tpu.filters.bootstrap import bootstrap_filter
+from bayesssm_tpu.models.distributions import (
+    exp_logpdf,
+    halfnorm_logpdf,
+    norm_logpdf,
+    pois_logpmf,
+    unif_logpdf,
+)
+from bayesssm_tpu.models.sinusoidal import simulate_sinusoidal, sinusoidal_model
+from bayesssm_tpu.models.sir import gillespie_step, simulate_sir, sir_model
+
+
+class TestDistributions:
+    def test_norm_matches_scipy_formula(self):
+        x, mu, sd = 1.3, 0.4, 2.0
+        expected = -0.5 * np.log(2 * np.pi * sd**2) - 0.5 * ((x - mu) / sd) ** 2
+        np.testing.assert_allclose(float(norm_logpdf(x, mu, sd)), expected, rtol=1e-6)
+
+    def test_exp_support(self):
+        np.testing.assert_allclose(
+            float(exp_logpdf(2.0, 1.5)), np.log(1.5) - 3.0, rtol=1e-6
+        )
+        assert np.isneginf(float(exp_logpdf(-0.1)))
+
+    def test_unif_support(self):
+        np.testing.assert_allclose(float(unif_logpdf(0.5, 0, 2)), -np.log(2.0))
+        assert np.isneginf(float(unif_logpdf(3.0, 0, 2)))
+
+    def test_pois_zero_rate(self):
+        assert float(pois_logpmf(0.0, 0.0)) == 0.0
+        assert np.isneginf(float(pois_logpmf(1.0, 0.0)))
+        # k=3, rate=2: log(2^3 e^-2 / 6)
+        expected = 3 * np.log(2) - 2 - np.log(6)
+        np.testing.assert_allclose(float(pois_logpmf(3.0, 2.0)), expected, rtol=1e-6)
+
+    def test_halfnorm_normalization(self):
+        # integrates to 1 over [0, inf): crude Riemann check
+        xs = np.linspace(0, 10, 20001)
+        vals = np.exp(np.asarray(halfnorm_logpdf(jnp.asarray(xs), 1.5)))
+        np.testing.assert_allclose(np.trapezoid(vals, xs), 1.0, atol=1e-3)
+        assert np.isneginf(float(halfnorm_logpdf(-0.5, 1.0)))
+
+
+class TestSinusoidal:
+    def test_filter_runs(self):
+        (init_fn, trans_fn, loglik_fn), priors, transform = sinusoidal_model()
+        _, y = simulate_sinusoidal(seed=1405)
+        res = bootstrap_filter(
+            jax.random.key(0), y, 256, init_fn, trans_fn, loglik_fn,
+            theta={"phi": 0.8, "sigma_x": 1.0, "sigma_y": 0.5},
+        )
+        assert np.isfinite(float(res.loglike))
+        assert res.state_est.shape == (21,)
+        # priors match README: phi ~ U(0,1), sigmas ~ Exp(1)
+        assert np.isneginf(float(priors["phi"](1.5)))
+        assert np.isfinite(float(priors["sigma_x"](0.5)))
+
+
+class TestSIR:
+    def test_gillespie_conservation(self):
+        # S+I never increases; S non-increasing; counts stay non-negative.
+        state = jnp.tile(jnp.array([430.0, 70.0]), (128, 1))
+        out = gillespie_step(jax.random.key(0), state, 0.5, 0.2, 500.0)
+        s, i = np.asarray(out[:, 0]), np.asarray(out[:, 1])
+        assert (s >= 0).all() and (i >= 0).all()
+        assert (s <= 430.0).all()
+        assert (s + i <= 500.0).all()
+        # Some randomness must have happened.
+        assert np.std(i) > 0
+
+    def test_gillespie_absorbing_zero(self):
+        # i == 0 is absorbing: nothing changes.
+        state = jnp.tile(jnp.array([400.0, 0.0]), (16, 1))
+        out = gillespie_step(jax.random.key(1), state, 0.5, 0.2, 500.0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(state))
+
+    def test_gillespie_matches_host_moments(self):
+        # The vectorized device Gillespie must match the host reference
+        # implementation's distribution of I after one unit step.
+        lam, gamma, n_total = 0.5, 0.2, 500.0
+        state = jnp.tile(jnp.array([430.0, 70.0]), (4096, 1))
+        out = gillespie_step(jax.random.key(2), state, lam, gamma, n_total)
+        i_dev = np.asarray(out[:, 1])
+
+        rng = np.random.default_rng(0)
+        i_host = []
+        for _ in range(4096):
+            s, i = 430.0, 70.0
+            t = 0.0
+            while i > 0:
+                r_inf = lam / n_total * s * i
+                r_rem = gamma * i
+                r_tot = r_inf + r_rem
+                if r_tot <= 0:
+                    break
+                dt = rng.exponential(1.0 / r_tot)
+                if t + dt > 1.0:
+                    break
+                t += dt
+                if rng.uniform() < r_inf / r_tot:
+                    s, i = s - 1, i + 1
+                else:
+                    i -= 1
+            i_host.append(i)
+        i_host = np.array(i_host)
+        assert abs(i_dev.mean() - i_host.mean()) < 2.0
+        assert abs(i_dev.std() - i_host.std()) < 1.5
+
+    def test_sir_filter_loglike_finite(self):
+        (init_fn, trans_fn, loglik_fn), priors, transform = sir_model()
+        states, y = simulate_sir(seed=1405)
+        res = bootstrap_filter(
+            jax.random.key(3), y, 128, init_fn, trans_fn, loglik_fn,
+            theta={"lam": 0.5, "gamma": 0.2}, return_particles=False,
+        )
+        assert np.isfinite(float(res.loglike))
+        # State estimate dims: [T+1, 2]
+        assert res.state_est.shape == (len(y) + 1, 2)
+        # Infectious trajectory estimate should track the truth loosely.
+        i_est = np.asarray(res.state_est[1:, 1])
+        assert np.corrcoef(i_est, states[:, 1])[0, 1] > 0.9
+
+    def test_sir_likelihood_favors_truth(self):
+        (init_fn, trans_fn, loglik_fn), _, _ = sir_model()
+        _, y = simulate_sir(seed=7)
+        keys = jax.random.split(jax.random.key(4), 4)
+
+        def ll(theta, key):
+            return float(
+                bootstrap_filter(
+                    key, y, 256, init_fn, trans_fn, loglik_fn,
+                    theta=theta, return_particles=False,
+                ).loglike
+            )
+
+        ll_true = np.mean([ll({"lam": 0.5, "gamma": 0.2}, k) for k in keys])
+        ll_bad = np.mean([ll({"lam": 2.0, "gamma": 1.0}, k) for k in keys])
+        assert ll_true > ll_bad
