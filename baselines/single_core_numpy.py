@@ -1,0 +1,120 @@
+"""Single-core CPU reference implementation for baseline measurement.
+
+The reference R package publishes no benchmark numbers (BASELINE.md), and R
+is not available in this environment, so the measured baseline is this
+faithful single-core NumPy implementation of the reference's BPF-PMMH on
+the stochastic-SIR config: exact per-day Gillespie dynamics vectorized
+across particles (the same algorithmic shape as the reference's R
+`epidemic_step` applied per particle, /root/reference/vignettes/articles/
+stochastic-sir-model.Rmd:152-176 — vectorized NumPy is, if anything,
+generous to the baseline), stratified resampling, fresh-weight SISAR as in
+/root/reference/R/particle_filter_core.R.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["sir_pmmh_steps", "sir_bpf_loglike"]
+
+
+def _gillespie_day(rng, s, i, lam, gamma, n_total):
+    """Advance all particles one day; s, i: float [n]."""
+    t = np.zeros_like(s)
+    active = i > 0
+    while active.any():
+        rate_inf = (lam / n_total) * s * i
+        rate_rem = gamma * i
+        rate_tot = rate_inf + rate_rem
+        live = active & (rate_tot > 0)
+        if not live.any():
+            break
+        safe = np.where(live, rate_tot, 1.0)
+        dt = rng.exponential(1.0, size=s.shape) / safe
+        t_new = t + dt
+        fire = live & (t_new <= 1.0)
+        u = rng.uniform(size=s.shape)
+        infect = u < rate_inf / safe
+        s = np.where(fire & infect, s - 1.0, s)
+        i = np.where(fire, np.where(infect, i + 1.0, i - 1.0), i)
+        t = np.where(live, t_new, t)
+        active = fire & (i > 0)
+    return s, i
+
+
+def _pois_logpmf(k, rate):
+    from math import lgamma
+
+    safe = np.where(rate > 0, rate, 1.0)
+    out = k * np.log(safe) - rate - np.array([lgamma(kk + 1) for kk in np.atleast_1d(k)])
+    return np.where(rate > 0, out, np.where(k == 0, 0.0, -np.inf))
+
+
+def sir_bpf_loglike(rng, y, n_particles, lam, gamma, n_total, init_infected):
+    """One bootstrap-filter sweep; returns the log-likelihood estimate."""
+    s = np.full(n_particles, float(n_total - init_infected))
+    i = np.full(n_particles, float(init_infected))
+    loglike = 0.0
+    for obs in y:
+        s, i = _gillespie_day(rng, s, i, lam, gamma, n_total)
+        lw = _pois_logpmf(np.full_like(i, obs), i)
+        mx = lw.max()
+        if mx < -1e8:
+            return -np.inf
+        w = np.exp(lw - mx)
+        tot = w.sum()
+        weights = w / tot
+        loglike += mx + np.log(tot) - np.log(n_particles)
+        ess = 1.0 / np.square(weights).sum()
+        if ess < n_particles / 2:  # SISAR + stratified
+            u = (np.arange(n_particles) + rng.uniform(size=n_particles)) / n_particles
+            idx = np.searchsorted(np.cumsum(weights), u, side="left")
+            idx = np.clip(idx, 0, n_particles - 1)
+            s, i = s[idx], i[idx]
+    return loglike
+
+
+def sir_pmmh_steps(
+    num_steps: int,
+    y,
+    n_particles: int = 128,
+    n_total: int = 500,
+    init_infected: int = 70,
+    seed: int = 0,
+):
+    """Run `num_steps` PMMH MH steps on one chain; returns theta chain."""
+    rng = np.random.default_rng(seed)
+    theta = np.array([0.5, 0.2])  # (lambda, gamma), log-transformed proposals
+    prop_sd = np.array([0.1, 0.1])
+
+    def log_prior(th):
+        lam, gamma = th
+        if lam <= 0 or gamma <= 0:
+            return -np.inf
+        return (
+            -0.5 * (lam / 1.0) ** 2 - 0.5 * np.log(np.pi / 2)
+            - 0.5 * (gamma / 2.0) ** 2 - 0.5 * np.log(np.pi * 2)
+        )
+
+    ll = sir_bpf_loglike(
+        rng, y, n_particles, theta[0], theta[1], n_total, init_infected
+    )
+    chain = [theta.copy()]
+    for _ in range(num_steps):
+        z = np.log(theta)
+        zp = z + prop_sd * rng.normal(size=2)
+        theta_prop = np.exp(zp)
+        lp = log_prior(theta_prop)
+        ll_prop = sir_bpf_loglike(
+            rng, y, n_particles, theta_prop[0], theta_prop[1],
+            n_total, init_infected,
+        )
+        log_ratio = (
+            ll_prop + lp + np.log(theta_prop).sum()
+        ) - (ll + log_prior(theta) + np.log(theta).sum())
+        if np.isnan(log_ratio):
+            log_ratio = -np.inf
+        if np.log(rng.uniform()) < log_ratio:
+            theta, ll = theta_prop, ll_prop
+        chain.append(theta.copy())
+    return np.array(chain)

@@ -1,0 +1,143 @@
+"""Benchmark: aggregate PMMH samples/s at 4096 chains on stochastic-SIR.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The workload is BASELINE.json's north-star config: bootstrap-filter PMMH on
+the stochastic SIR model (n_total=500, 70 initially infected, T=10 daily
+Poisson observations), 4096 chains running the full MH step (MVN propose in
+log-space -> full particle-filter sweep with exact vectorized Gillespie
+dynamics -> accept/reject) on device. ``vs_baseline`` is the speedup over a
+measured single-core NumPy implementation of the same sampler
+(baselines/single_core_numpy.py) — the reference R package publishes no
+numbers and R is unavailable here (BASELINE.md).
+
+Usage: python bench.py [--quick] [--chains C] [--particles N] [--steps K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def tpu_samples_per_sec(y, chains, particles, steps_per_call, timed_calls):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from bayesssm_tpu.filters.bootstrap import bootstrap_filter
+    from bayesssm_tpu.models.sir import sir_model
+    from bayesssm_tpu.pmmh.priors import sum_log_priors
+
+    (init_fn, transition_fn, loglik_fn), log_priors, _ = sir_model(
+        n_total=500, init_infected=70
+    )
+    param_names = list(log_priors)
+    prior_fns = [log_priors[p] for p in param_names]
+    ys = jnp.asarray(y, dtype=jnp.float32)
+    prop_sd = jnp.array([0.1, 0.1], dtype=jnp.float32)
+
+    def pf_loglike(key, theta_vec):
+        theta = {p: theta_vec[j] for j, p in enumerate(param_names)}
+        return bootstrap_filter(
+            key, ys, particles, init_fn, transition_fn, loglik_fn,
+            theta=theta, return_particles=False,
+        ).loglike
+
+    def mh_step(carry, _):
+        key, theta, ll = carry
+        key, k_prop, k_pf, k_acc = jax.random.split(key, 4)
+        z = jnp.log(theta)
+        zp = z + prop_sd * jax.random.normal(k_prop, z.shape, dtype=z.dtype)
+        theta_prop = jnp.exp(zp)
+        lp_prop = sum_log_priors(theta_prop, prior_fns)
+        ll_prop = pf_loglike(k_pf, theta_prop)
+        log_ratio = (ll_prop + lp_prop + zp.sum()) - (
+            ll + sum_log_priors(theta, prior_fns) + z.sum()
+        )
+        log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+        accept = jnp.log(jax.random.uniform(k_acc)) < log_ratio
+        theta = jnp.where(accept, theta_prop, theta)
+        ll = jnp.where(accept, ll_prop, ll)
+        return (key, theta, ll), None
+
+    def k_steps(keys, thetas, lls):
+        def one(key, theta, ll):
+            (key, theta, ll), _ = lax.scan(
+                mh_step, (key, theta, ll), None, length=steps_per_call
+            )
+            return key, theta, ll
+
+        return jax.vmap(one)(keys, thetas, lls)
+
+    keys = jax.random.split(jax.random.key(0), chains)
+    thetas = jnp.tile(jnp.array([0.5, 0.2], jnp.float32), (chains, 1))
+    ll0 = jax.vmap(pf_loglike)(
+        jax.random.split(jax.random.key(1), chains),
+        thetas,
+    )
+    step = jax.jit(k_steps)
+
+    # Warmup / compile.
+    keys, thetas, lls = jax.block_until_ready(step(keys, thetas, ll0))
+
+    t0 = time.time()
+    for _ in range(timed_calls):
+        keys, thetas, lls = step(keys, thetas, lls)
+    jax.block_until_ready((keys, thetas, lls))
+    elapsed = time.time() - t0
+    total_samples = chains * steps_per_call * timed_calls
+    return total_samples / elapsed
+
+
+def baseline_samples_per_sec(y, particles, steps):
+    sys.path.insert(0, "baselines")
+    from single_core_numpy import sir_pmmh_steps
+
+    t0 = time.time()
+    sir_pmmh_steps(steps, y, n_particles=particles)
+    elapsed = time.time() - t0
+    return steps / elapsed
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--chains", type=int, default=4096)
+    ap.add_argument("--particles", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--calls", type=int, default=3)
+    ap.add_argument("--baseline-steps", type=int, default=6)
+    args = ap.parse_args()
+
+    if args.quick:
+        args.chains, args.steps, args.calls = 256, 2, 2
+        args.baseline_steps = 2
+
+    from bayesssm_tpu.models.sir import simulate_sir
+
+    _, y = simulate_sir(seed=1405)
+
+    value = tpu_samples_per_sec(
+        y, args.chains, args.particles, args.steps, args.calls
+    )
+    base = baseline_samples_per_sec(y, args.particles, args.baseline_steps)
+
+    print(
+        json.dumps(
+            {
+                "metric": "pmmh_samples_per_sec_4096chains_sir",
+                "value": round(value, 2),
+                "unit": "samples/s",
+                "vs_baseline": round(value / base, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
