@@ -1,0 +1,124 @@
+"""Mesh-sharding tests on the 8-device virtual CPU mesh.
+
+The reference's strongest execution-model contract is that results are
+identical whether chains run on 1 or 2 cores (test-pmmh.R:468-503). The
+TPU-native analogue, in two tiers:
+
+  * bit-exact reproducibility for a fixed (key, mesh layout) — chain RNG
+    derives from fold_in(key, chain_index), never from device placement;
+  * statistical equivalence across mesh layouts: XLA compiles different
+    partitionings to different (but each deterministic) reduction orders,
+    so individual MH accept decisions can flip at the ULP level; the
+    tuning outputs and posterior distributions must still agree.
+"""
+
+import warnings
+
+import jax
+import numpy as np
+import pytest
+
+from bayesssm_tpu.models.lgss import lgss_model, simulate_lgss
+from bayesssm_tpu.parallel.mesh import make_chain_mesh, shard_chain_tree
+from bayesssm_tpu.pmmh.driver import pmmh
+from bayesssm_tpu.pmmh.tuning import default_tune_control
+
+(MODEL_FNS, LOG_PRIORS, TRANSFORM) = lgss_model()
+INIT_FN, TRANSITION_FN, LOGLIK_FN = MODEL_FNS
+_, Y = simulate_lgss(3, t_val=12)
+
+FAST_TUNE = default_tune_control(pilot_m=40, pilot_reps=8, pilot_n=50)
+
+
+def run(mesh=None, num_chains=8, seed=77):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return pmmh(
+            "bootstrap_filter", Y, m=60,
+            init_fn=INIT_FN, transition_fn=TRANSITION_FN,
+            log_likelihood_fn=LOGLIK_FN, log_priors=LOG_PRIORS,
+            pilot_init_params=[{"a": 0.5, "sigma_x": 0.5, "sigma_y": 0.5}]
+            * num_chains,
+            burn_in=20, num_chains=num_chains, seed=seed,
+            param_transform=TRANSFORM, tune_control=FAST_TUNE,
+            mesh=mesh, print_summary=False,
+        )
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+    assert jax.devices()[0].platform == "cpu"
+
+
+def test_fixed_layout_bit_exact():
+    mesh = make_chain_mesh(8)
+    o1 = run(mesh=mesh)
+    o2 = run(mesh=mesh)
+    for p in o1.theta_chain:
+        np.testing.assert_array_equal(o1.theta_chain[p], o2.theta_chain[p])
+    np.testing.assert_array_equal(o1.target_n, o2.target_n)
+
+
+def test_mesh_layout_statistical_invariance():
+    # No mesh vs 8-way chain sharding vs 4x2 chains-by-particles mesh: the
+    # deterministic tuning outputs agree exactly and the posteriors agree
+    # within MC noise (ULP-level compilation differences may flip
+    # individual MH decisions, so bit-equality of chains is not required).
+    base = run(mesh=None)
+    m8 = run(mesh=make_chain_mesh(8))
+    m42 = run(mesh=make_chain_mesh(8, particle_axis_size=2))
+    np.testing.assert_array_equal(base.target_n, m8.target_n)
+    np.testing.assert_array_equal(base.target_n, m42.target_n)
+    for other in (m8, m42):
+        for p in base.theta_chain:
+            assert abs(
+                base.theta_chain[p].mean() - other.theta_chain[p].mean()
+            ) < 0.25
+            # First kept sample per chain comes deterministically from the
+            # pilot posterior mean — equal to float tolerance.
+            np.testing.assert_allclose(
+                base.theta_chain[p][:, 0], other.theta_chain[p][:, 0],
+                rtol=1e-4,
+            )
+
+
+def test_sharded_filter_matches_unsharded():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+    from bayesssm_tpu.filters.bootstrap import bootstrap_filter
+
+    mesh = make_chain_mesh(8)
+    keys = jax.random.split(jax.random.key(5), 16)
+
+    def batched(ks):
+        def one(k):
+            return bootstrap_filter(
+                k, Y, 64, INIT_FN, TRANSITION_FN, LOGLIK_FN,
+                theta={"a": 0.8, "sigma_x": 0.5, "sigma_y": 0.4},
+                return_particles=False,
+            ).loglike
+        return jax.vmap(one)(ks)
+
+    plain = jax.jit(batched)(keys)
+    sharded = jax.jit(
+        batched, in_shardings=NamedSharding(mesh, P("chains"))
+    )(jax.device_put(keys, NamedSharding(mesh, P("chains"))))
+    np.testing.assert_allclose(
+        np.asarray(plain), np.asarray(sharded), rtol=1e-6
+    )
+
+
+def test_graft_dryrun_runs():
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
+    graft.dryrun_multichip(2)
+
+
+def test_shard_chain_tree():
+    mesh = make_chain_mesh(8)
+    import jax.numpy as jnp
+
+    tree = {"a": jnp.zeros((16, 3)), "b": jnp.ones((16,))}
+    sharded = shard_chain_tree(tree, mesh)
+    assert sharded["a"].sharding.spec == jax.sharding.PartitionSpec("chains")
