@@ -53,16 +53,21 @@ def _kernel(lw_ref, particles_ref, pos_ref, uniform_ref, thr_ref,
     lse_ref[:, :] = (mx + jnp.log(s)).reshape(1, 1)  # caller subtracts log(n_alive)
     ess_ref[:, :] = ess.reshape(1, 1)
 
-    # Cumulative sum as an MXU matmul against an upper-triangular ones
-    # matrix (Mosaic has no cumsum primitive): cdf_i = sum_{j<=i} w_j.
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    tri = (row_ids <= col_ids).astype(w.dtype)     # T[j, i] = 1 if j <= i
-    cdf = jnp.dot(
-        w.reshape(1, n), tri, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(w.dtype)[0]                            # [N]
+    # Cumulative sum as a Hillis-Steele shift-add scan (log2(n) VPU passes;
+    # Mosaic has no cumsum primitive and a triangular-matmul formulation
+    # compiles slowly at HIGHEST precision).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    cdf2 = w.reshape(1, n)
+    shift = 1
+    while shift < n:
+        from jax.experimental.pallas import tpu as pltpu
+
+        shifted_w = pltpu.roll(cdf2, shift, axis=1)
+        cdf2 = cdf2 + jnp.where(lane >= shift, shifted_w, 0.0)
+        shift *= 2
+    cdf = cdf2[0]                                   # [N]
     cdf_prev = cdf - w
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     pos = pos_ref[0, :]                    # [N] stratum positions
     pos_col = pos.reshape(n, 1)
     # Selection matrix: output slot j takes the first ancestor i whose CDF

@@ -149,12 +149,19 @@ def pmmh(
     mesh=None,
     chain_axis: str = "chains",
     print_summary: bool = True,
+    checkpoint_every: Optional[int] = None,
+    checkpoint_path=None,
+    resume: bool = False,
 ) -> PMMHOutput:
     """Run PMMH with pilot tuning; returns a PMMHOutput.
 
     Arguments mirror the reference's pmmh() (/root/reference/R/pmmh.R:243);
     ``seed`` may be an int or a jax PRNG key. ``mesh`` optionally shards the
     chains axis over devices (jax.sharding.Mesh with a ``chain_axis`` axis).
+    ``checkpoint_every``/``checkpoint_path`` periodically snapshot sampler
+    state (utils/checkpoint.py); ``resume=True`` continues from an existing
+    snapshot at ``checkpoint_path`` (tuning is skipped — the tuned proposal
+    and particle counts are restored from the snapshot).
     """
     # ---------------- validation (R/pmmh.R:263-322) ----------------
     if not isinstance(m, (int, np.integer)) or m < 1:
@@ -224,8 +231,26 @@ def pmmh(
         chain_keys = jax.device_put(chain_keys, chain_sharding)
         theta0 = jax.device_put(jnp.asarray(theta0), chain_sharding)
 
+    # ---------------- resume path ----------------
+    resume_state = None
+    if resume:
+        import pathlib
+
+        from bayesssm_tpu.utils.checkpoint import load_checkpoint
+
+        if checkpoint_path is None or not pathlib.Path(checkpoint_path).exists():
+            raise ValueError(
+                "resume=True requires an existing checkpoint_path"
+            )
+        resume_state = load_checkpoint(checkpoint_path)
+        if verbose:
+            print(
+                f"Resuming from {checkpoint_path} at step "
+                f"{resume_state['step']}/{m}"
+            )
+
     # ---------------- phase 1: pilot tuning (vmapped over chains) -------
-    if verbose:
+    if verbose and resume_state is None:
         print(f"Running pilot chains for tuning ({num_chains} chains)...")
 
     def tuning_phase(key, th0):
@@ -236,28 +261,39 @@ def pmmh(
             carry_weights=carry_weights,
         )
 
-    tuned = jax.jit(jax.vmap(tuning_phase))(chain_keys, jnp.asarray(theta0))
-    theta_mean = np.asarray(tuned["pilot_theta_mean"], dtype=np.float64)
-    theta_cov = np.asarray(tuned["pilot_theta_cov"], dtype=np.float64)
-    target_n = np.asarray(tuned["target_n"], dtype=np.int64)
+    if resume_state is None:
+        tuned = jax.jit(jax.vmap(tuning_phase))(
+            chain_keys, jnp.asarray(theta0)
+        )
+        theta_mean = np.asarray(tuned["pilot_theta_mean"], dtype=np.float64)
+        theta_cov = np.asarray(tuned["pilot_theta_cov"], dtype=np.float64)
+        target_n = np.asarray(tuned["target_n"], dtype=np.int64)
 
-    if verbose:
+        if verbose:
+            for c in range(num_chains):
+                print(f"Chain {c + 1}: pilot posterior mean {theta_mean[c]}")
+                print(f"Chain {c + 1}: pilot covariance\n{theta_cov[c]}")
+            print(f"Using {target_n} particles for PMMH:")
+
+        # Delta-method proposal covariance in z-space (Q6, R/pmmh.R:377-389).
+        prop_factors = np.zeros_like(theta_cov, dtype=np.float32)
         for c in range(num_chains):
-            print(f"Chain {c + 1}: pilot posterior mean {theta_mean[c]}")
-            print(f"Chain {c + 1}: pilot covariance\n{theta_cov[c]}")
-        print(f"Using {target_n} particles for PMMH:")
-
-    # Delta-method proposal covariance in z-space (Q6, R/pmmh.R:377-389).
-    prop_factors = np.zeros_like(theta_cov, dtype=np.float32)
-    for c in range(num_chains):
-        scale = np.ones(len(param_names))
-        for j, t in enumerate(transforms):
-            if t == "log":
-                scale[j] = 1.0 / theta_mean[c, j]
-            elif t == "logit":
-                scale[j] = 1.0 / (theta_mean[c, j] * (1.0 - theta_mean[c, j]))
-        cov_z = (scale[:, None] * theta_cov[c]) * scale[None, :]
-        prop_factors[c] = _proposal_factor(cov_z)
+            scale = np.ones(len(param_names))
+            for j, t in enumerate(transforms):
+                if t == "log":
+                    scale[j] = 1.0 / theta_mean[c, j]
+                elif t == "logit":
+                    scale[j] = 1.0 / (
+                        theta_mean[c, j] * (1.0 - theta_mean[c, j])
+                    )
+            cov_z = (scale[:, None] * theta_cov[c]) * scale[None, :]
+            prop_factors[c] = _proposal_factor(cov_z)
+    else:
+        theta_mean = np.asarray(resume_state["meta"]["theta_mean"])
+        target_n = np.asarray(resume_state["meta"]["target_n"], dtype=np.int64)
+        prop_factors = np.asarray(
+            resume_state["meta"]["prop_factors"], dtype=np.float32
+        )
 
     # Static particle-lane bound: max tuned count, padded to a multiple of
     # 64 for TPU lane alignment; per-chain masking keeps each chain at its
@@ -265,52 +301,70 @@ def pmmh(
     max_n = int(target_n.max())
     max_particles = ((max_n + 63) // 64) * 64
 
-    # ---------------- phase 2: main PMMH chains ----------------
-    def main_phase(key, th_mean, factor, n_chain):
-        pf = _make_pf_loglike(
-            ys, None, param_names, model_fns, obs_times, algorithm,
-            resample_algorithm, resample_fn, carry_weights,
-            max_particles=max_particles,
-        )
-        p = len(param_names)
-        key, k0 = jax.random.split(key)
-        th_mean = th_mean.astype(jnp.float32)
-        ll0, se0 = pf(k0, th_mean, n=n_chain)
+    # ---------------- phase 2: main PMMH chains (chunked) ----------------
+    pf = _make_pf_loglike(
+        ys, None, param_names, model_fns, obs_times, algorithm,
+        resample_algorithm, resample_fn, carry_weights,
+        max_particles=max_particles,
+    )
+    p = len(param_names)
 
-        def step(carry, _):
-            key, theta, ll, se = carry
-            key, k_prop, k_pf, k_acc = jax.random.split(key, 4)
-            z = transform_params(theta, transforms)
-            zp = z + factor @ jax.random.normal(k_prop, (p,), dtype=z.dtype)
-            theta_prop = back_transform_params(zp, transforms)
-            lp_prop = sum_log_priors(theta_prop, prior_fns)
-            ll_prop, se_prop = pf(k_pf, theta_prop, n=n_chain)
-            log_ratio = (
-                ll_prop + lp_prop
-                + log_jacobian(theta_prop, transforms, jacobian_convention)
-            ) - (
-                ll + sum_log_priors(theta, prior_fns)
-                + log_jacobian(theta, transforms, jacobian_convention)
-            )
-            # NaN or out-of-support proposal -> forced rejection
-            # (R/pmmh.R:435-442, :488-490).
-            log_ratio = jnp.where(
-                jnp.isnan(log_ratio) | ~jnp.isfinite(lp_prop),
-                -jnp.inf, log_ratio,
-            )
-            accept = jnp.log(jax.random.uniform(k_acc)) < log_ratio
-            theta = jnp.where(accept, theta_prop, theta)
-            ll = jnp.where(accept, ll_prop, ll)
-            se = jnp.where(accept, se_prop, se)
-            return (key, theta, ll, se), (theta, se, accept)
-
-        (_, _, _, _), (thetas, ses, accepts) = lax.scan(
-            step, (key, th_mean, ll0, se0), None, length=m - 1
+    def mh_step(key, theta, ll, se, factor, n_chain):
+        key, k_prop, k_pf, k_acc = jax.random.split(key, 4)
+        z = transform_params(theta, transforms)
+        zp = z + factor @ jax.random.normal(k_prop, (p,), dtype=z.dtype)
+        theta_prop = back_transform_params(zp, transforms)
+        lp_prop = sum_log_priors(theta_prop, prior_fns)
+        ll_prop, se_prop = pf(k_pf, theta_prop, n=n_chain)
+        log_ratio = (
+            ll_prop + lp_prop
+            + log_jacobian(theta_prop, transforms, jacobian_convention)
+        ) - (
+            ll + sum_log_priors(theta, prior_fns)
+            + log_jacobian(theta, transforms, jacobian_convention)
         )
-        theta_chain = jnp.concatenate([th_mean[None], thetas], axis=0)
-        state_chain = jnp.concatenate([se0[None], ses], axis=0)
-        accept_rate = jnp.mean(accepts.astype(jnp.float32))
-        return theta_chain, state_chain, accept_rate
+        # NaN or out-of-support proposal -> forced rejection
+        # (R/pmmh.R:435-442, :488-490).
+        log_ratio = jnp.where(
+            jnp.isnan(log_ratio) | ~jnp.isfinite(lp_prop), -jnp.inf, log_ratio
+        )
+        accept = jnp.log(jax.random.uniform(k_acc)) < log_ratio
+        theta = jnp.where(accept, theta_prop, theta)
+        ll = jnp.where(accept, ll_prop, ll)
+        se = jnp.where(accept, se_prop, se)
+        return key, theta, ll, se, accept
+
+    @jax.jit
+    def init_eval(keys, th_means, n_chains):
+        def one(key, th, n):
+            key, k0 = jax.random.split(key)
+            ll0, se0 = pf(k0, th.astype(jnp.float32), n=n)
+            return key, th.astype(jnp.float32), ll0, se0
+
+        return jax.vmap(one)(keys, th_means, n_chains)
+
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def chunk_fn(length: int):
+        def chunk(keys, thetas, lls, ses, factors, n_chains):
+            def one(key, theta, ll, se, factor, n_chain):
+                def step(carry, _):
+                    key, theta, ll, se = carry
+                    key, theta, ll, se, accept = mh_step(
+                        key, theta, ll, se, factor, n_chain
+                    )
+                    out = (theta, se) if return_latent_state_est else (theta,)
+                    return (key, theta, ll, se), out + (accept,)
+
+                (key, theta, ll, se), outs = lax.scan(
+                    step, (key, theta, ll, se), None, length=length
+                )
+                return (key, theta, ll, se), outs
+
+            return jax.vmap(one)(keys, thetas, lls, ses, factors, n_chains)
+
+        return jax.jit(chunk)
 
     if verbose:
         print("Running Particle MCMC chains with tuned settings...")
@@ -323,12 +377,76 @@ def pmmh(
         factors = jax.device_put(factors, chain_sharding)
         th_means = jax.device_put(th_means, chain_sharding)
 
-    theta_chains, state_chains, accept_rates = jax.jit(
-        jax.vmap(main_phase)
-    )(chain_keys, th_means, factors, n_chain_arr)
+    if resume_state is None:
+        cur_keys, cur_theta, cur_ll, cur_se = init_eval(
+            chain_keys, th_means, n_chain_arr
+        )
+        theta_samples = [np.asarray(cur_theta)[:, None, :]]  # [C, 1, P]
+        state_samples = (
+            [np.asarray(cur_se)[:, None]] if return_latent_state_est else None
+        )
+        accept_total = np.zeros(num_chains)
+        steps_done = 1
+    else:
+        cur_keys = resume_state["keys"]
+        cur_theta = jnp.asarray(resume_state["theta"])
+        cur_ll = jnp.asarray(resume_state["loglike"])
+        cur_se = jnp.asarray(resume_state["state_est"])
+        theta_samples = [np.asarray(resume_state["samples"])]
+        state_samples = (
+            [np.asarray(resume_state["state_samples"])]
+            if return_latent_state_est and "state_samples" in resume_state
+            else ([] if return_latent_state_est else None)
+        )
+        accept_total = np.asarray(
+            resume_state["meta"].get("accept_total", np.zeros(num_chains))
+        ).copy()
+        steps_done = resume_state["step"]
 
-    theta_chains = np.asarray(theta_chains)  # [C, m, P]
-    accept_rates = np.asarray(accept_rates)
+    chunk_size = checkpoint_every or (m - steps_done) or 1
+    while steps_done < m:
+        length = min(chunk_size, m - steps_done)
+        (cur_keys, cur_theta, cur_ll, cur_se), outs = chunk_fn(length)(
+            cur_keys, cur_theta, cur_ll, cur_se, factors, n_chain_arr
+        )
+        if return_latent_state_est:
+            thetas, ses, accepts = outs
+            state_samples.append(np.asarray(ses))  # [C, length, T+1(, d)]
+        else:
+            thetas, accepts = outs
+        theta_samples.append(np.asarray(thetas))
+        accept_total += np.asarray(jnp.sum(accepts, axis=1))
+        steps_done += length
+
+        if checkpoint_path is not None:
+            from bayesssm_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path,
+                keys=cur_keys,
+                theta=cur_theta,
+                loglike=cur_ll,
+                state_est=cur_se,
+                samples=np.concatenate(theta_samples, axis=1),
+                state_samples=(
+                    np.concatenate(state_samples, axis=1)
+                    if return_latent_state_est else None
+                ),
+                step=steps_done,
+                meta={
+                    "theta_mean": theta_mean,
+                    "target_n": target_n,
+                    "prop_factors": prop_factors,
+                    "accept_total": accept_total,
+                },
+            )
+
+    theta_chains = np.concatenate(theta_samples, axis=1)  # [C, m, P]
+    state_chains = (
+        np.concatenate(state_samples, axis=1)
+        if return_latent_state_est else None
+    )
+    accept_rates = accept_total / max(m - 1, 1)
 
     # ---------------- post-processing (R/pmmh.R:540-627) ----------------
     post = theta_chains[:, burn_in:, :]  # [C, m_post, P]
