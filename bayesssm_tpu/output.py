@@ -37,6 +37,7 @@ class PMMHOutput:
     acceptance_rate: Optional[np.ndarray] = None
     target_n: Optional[np.ndarray] = None
     seed: Optional[int] = None
+    timings: Optional[Dict[str, float]] = None
 
     @property
     def param_names(self):

@@ -261,10 +261,16 @@ def pmmh(
             carry_weights=carry_weights,
         )
 
+    from bayesssm_tpu.utils.timing import PhaseTimer
+
+    timer = PhaseTimer(verbose=verbose)
+
     if resume_state is None:
-        tuned = jax.jit(jax.vmap(tuning_phase))(
-            chain_keys, jnp.asarray(theta0)
-        )
+        with timer.phase("tuning"):
+            tuned = jax.jit(jax.vmap(tuning_phase))(
+                chain_keys, jnp.asarray(theta0)
+            )
+            jax.block_until_ready(tuned["target_n"])
         theta_mean = np.asarray(tuned["pilot_theta_mean"], dtype=np.float64)
         theta_cov = np.asarray(tuned["pilot_theta_cov"], dtype=np.float64)
         target_n = np.asarray(tuned["target_n"], dtype=np.int64)
@@ -404,6 +410,8 @@ def pmmh(
         steps_done = resume_state["step"]
 
     chunk_size = checkpoint_every or (m - steps_done) or 1
+    sampling_timer = timer.phase("sampling")
+    sampling_timer.__enter__()
     while steps_done < m:
         length = min(chunk_size, m - steps_done)
         (cur_keys, cur_theta, cur_ll, cur_se), outs = chunk_fn(length)(
@@ -441,6 +449,7 @@ def pmmh(
                 },
             )
 
+    sampling_timer.__exit__(None, None, None)
     theta_chains = np.concatenate(theta_samples, axis=1)  # [C, m, P]
     state_chains = (
         np.concatenate(state_samples, axis=1)
@@ -480,6 +489,7 @@ def pmmh(
         acceptance_rate=accept_rates,
         target_n=target_n,
         seed=seed_out,
+        timings=dict(timer.timings),
     )
 
     if print_summary:
