@@ -32,12 +32,16 @@ __all__ = ["sir_model", "simulate_sir"]
 MAX_EVENTS = 100_000
 
 
-def gillespie_step(key, state, lam, gamma, n_total, t_end=1.0):
+def gillespie_step(key, state, lam, gamma, n_total, t_end=1.0, unroll=4):
     """Advance all particles' (S, I) by one unit of continuous time.
 
     ``state``: float [n, 2]. Exact stochastic simulation; all lanes advance
     in lock-step with masking, so the compiled loop runs
-    max-events-over-lanes iterations.
+    max-events-over-lanes / unroll iterations. Each ``while_loop``
+    iteration draws one combined random block and applies ``unroll``
+    events back-to-back in registers — amortizing the PRNG and the
+    loop-condition reduction over several events without changing the
+    sampled jump-process distribution.
     """
     s = state[..., 0]
     i = state[..., 1]
@@ -50,24 +54,25 @@ def gillespie_step(key, state, lam, gamma, n_total, t_end=1.0):
 
     def body(carry):
         key, s, i, t, active, steps = carry
-        key, k_dt, k_ev = jax.random.split(key, 3)
-        rate_inf = (lam / n_total) * s * i
-        rate_rem = gamma * i
-        rate_tot = rate_inf + rate_rem
-        live = jnp.logical_and(active, rate_tot > 0)
-        safe_rate = jnp.where(live, rate_tot, 1.0)
-        dt = jax.random.exponential(k_dt, s.shape) / safe_rate
-        t_new = t + dt
-        fire = jnp.logical_and(live, t_new <= t_end)
-        u = jax.random.uniform(k_ev, s.shape)
-        infect = u < rate_inf / safe_rate
-        s = jnp.where(fire & infect, s - 1.0, s)
-        i = jnp.where(
-            fire, jnp.where(infect, i + 1.0, i - 1.0), i
-        )
-        t = jnp.where(live, t_new, t)
-        active = fire & (i > 0)
-        return key, s, i, t, active, steps + 1
+        key, k_r = jax.random.split(key)
+        # One fused draw per iteration: [2, unroll, ...] uniforms feed the
+        # waiting times (via inverse CDF) and the event choices.
+        r = jax.random.uniform(k_r, (2, unroll) + s.shape)
+        for e in range(unroll):
+            rate_inf = (lam / n_total) * s * i
+            rate_rem = gamma * i
+            rate_tot = rate_inf + rate_rem
+            live = jnp.logical_and(active, rate_tot > 0)
+            safe_rate = jnp.where(live, rate_tot, 1.0)
+            dt = -jnp.log1p(-r[0, e]) / safe_rate
+            t_new = t + dt
+            fire = jnp.logical_and(live, t_new <= t_end)
+            infect = r[1, e] < rate_inf / safe_rate
+            s = jnp.where(fire & infect, s - 1.0, s)
+            i = jnp.where(fire, jnp.where(infect, i + 1.0, i - 1.0), i)
+            t = jnp.where(live, t_new, t)
+            active = fire & (i > 0)
+        return key, s, i, t, active, steps + unroll
 
     _, s, i, _, _, _ = jax.lax.while_loop(
         cond, body, (key, s, i, t, active, jnp.zeros((), jnp.int32))

@@ -95,11 +95,21 @@ def tpu_samples_per_sec(y, chains, particles, steps_per_call, timed_calls):
 
 
 def baseline_samples_per_sec(y, particles, steps):
+    """Single-core samples/s: one MH step costs one PF sweep; timed at the
+    generating parameters for run-to-run stability (MH exploration makes
+    per-step cost noisy), which if anything flatters the baseline since
+    proposals above the truth simulate more epidemic events."""
     sys.path.insert(0, "baselines")
-    from single_core_numpy import sir_pmmh_steps
+    import numpy as np
 
+    from single_core_numpy import sir_bpf_loglike
+
+    rng = np.random.default_rng(0)
+    # warmup sweep
+    sir_bpf_loglike(rng, y, particles, 0.5, 0.2, 500, 70)
     t0 = time.time()
-    sir_pmmh_steps(steps, y, n_particles=particles)
+    for _ in range(steps):
+        sir_bpf_loglike(rng, y, particles, 0.5, 0.2, 500, 70)
     elapsed = time.time() - t0
     return steps / elapsed
 
