@@ -29,6 +29,8 @@ def auxiliary_filter(
     threshold=None,
     return_particles: bool = True,
     max_particles=None,
+    carry_weights: bool = False,
+    use_fused: str | bool = "auto",
 ):
     """Run an auxiliary particle filter; returns a ``FilterResult``."""
     return particle_filter_core(
@@ -47,4 +49,6 @@ def auxiliary_filter(
         threshold=threshold,
         return_particles=return_particles,
         max_particles=max_particles,
+        carry_weights=carry_weights,
+        use_fused=use_fused,
     )

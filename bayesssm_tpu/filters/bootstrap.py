@@ -27,6 +27,8 @@ def bootstrap_filter(
     threshold=None,
     return_particles: bool = True,
     max_particles=None,
+    carry_weights: bool = False,
+    use_fused: str | bool = "auto",
 ):
     """Run a bootstrap particle filter; returns a ``FilterResult``."""
     return particle_filter_core(
@@ -44,4 +46,6 @@ def bootstrap_filter(
         threshold=threshold,
         return_particles=return_particles,
         max_particles=max_particles,
+        carry_weights=carry_weights,
+        use_fused=use_fused,
     )

@@ -122,6 +122,7 @@ def particle_filter_core(
     return_particles: bool = True,
     max_particles: Optional[int] = None,
     carry_weights: bool = False,
+    use_fused: str | bool = "auto",
 ):
     """Run one particle filter. See module docstring for semantics.
 
@@ -221,6 +222,27 @@ def particle_filter_core(
 
     uniform_w = jnp.where(alive, 1.0 / n_f, 0.0).astype(dtype)
 
+    # Fused Pallas weight+resample path (TPU): one VMEM kernel replaces
+    # normalize + ESS + cumsum + searchsorted + gather. Gated statically;
+    # SIS never resamples so the portable (cheap) path suffices there.
+    from bayesssm_tpu.ops.resampling_pallas import (
+        MAX_FUSED_LANES,
+        fused_weight_resample,
+        pallas_available,
+    )
+
+    if use_fused == "auto":
+        fused_enabled = (
+            pallas_available()
+            and n_static % 128 == 0
+            and n_static <= MAX_FUSED_LANES
+            and resample_algorithm != "SIS"
+            and dtype == jnp.float32
+        )
+    else:
+        fused_enabled = bool(use_fused)
+    always_resample = algorithm == "RMPF" or resample_algorithm == "SISR"
+
     canon_in_scan = canon
 
     def squeeze_y(y_row):
@@ -285,44 +307,68 @@ def particle_filter_core(
         # --- degenerate-weight detection (:189-202) ---
         dead = jnp.logical_or(dead, jnp.max(lw) < DEGENERATE_LOG_WEIGHT)
 
-        # --- normalize + likelihood increment (:204-209) ---
         if carry_weights:
             # Textbook accumulation: incr = logsumexp(lnW_{t-1} + lw_t).
             # After an APF step lnw_prev is already uniform (the auxiliary
             # resample consumed the carried weights).
             base = log_uniform_w if algorithm == "APF" else lnw_prev
             combined = lw + base
-            weights, lse, mx = normalize_log_weights(combined)
-            incr = mx + lse
         else:
-            weights, lse, mx = normalize_log_weights(lw)
-            incr = mx + lse - jnp.log(n_f)
-        loglike = jnp.where(dead, neg_inf, loglike + incr)
+            combined = lw
 
-        # --- ESS + resampling decision (:211-224) ---
-        ess = effective_sample_size(weights)
-        if algorithm == "RMPF" or resample_algorithm == "SISR":
-            should = None  # statically always resample
-        elif resample_algorithm == "SIS":
-            should = False
-        else:
-            should = ess < thr
+        if fused_enabled:
+            # --- fused Pallas path: normalize + ESS + resample on-chip ---
+            from bayesssm_tpu.ops.resampling import _positions
 
-        if should is not False:
-            idx = resample_indices(
-                k_res, weights, method=resample_fn, num_alive=n_f
+            pos = _positions(
+                k_res, resample_fn, (), n_static,
+                jnp.asarray(num_particles, dtype), dtype,
             )
-            resampled = gather_particles(particles, idx)
-            if should is None:
-                particles = resampled
-                weights = uniform_w
+            p2d = particles if particles.ndim == 2 else particles[:, None]
+            # Clamp -inf so fully-degenerate slices stay NaN-free (dead
+            # chains are zeroed below either way).
+            safe_comb = jnp.maximum(combined, jnp.asarray(-1e30, dtype))
+            thr_arg = thr if thr is not None else jnp.asarray(0.0, dtype)
+            pout, weights, ess, lse = fused_weight_resample(
+                safe_comb, p2d, pos, uniform_w, thr_arg,
+                always_resample=always_resample,
+            )
+            particles = pout if particles.ndim == 2 else pout[:, 0]
+            incr = lse if carry_weights else lse - jnp.log(n_f)
+            loglike = jnp.where(dead, neg_inf, loglike + incr)
+            if always_resample:
                 ess_rec = n_f
             else:
-                particles = jnp.where(should, resampled, particles)
-                weights = jnp.where(should, uniform_w, weights)
-                ess_rec = jnp.where(should, n_f, ess)
+                ess_rec = jnp.where(ess < thr, n_f, ess)
         else:
-            ess_rec = ess
+            # --- portable path (:204-224) ---
+            weights, lse, mx = normalize_log_weights(combined)
+            incr = (mx + lse) if carry_weights else (mx + lse - jnp.log(n_f))
+            loglike = jnp.where(dead, neg_inf, loglike + incr)
+
+            ess = effective_sample_size(weights)
+            if always_resample:
+                should = None  # statically always resample
+            elif resample_algorithm == "SIS":
+                should = False
+            else:
+                should = ess < thr
+
+            if should is not False:
+                idx = resample_indices(
+                    k_res, weights, method=resample_fn, num_alive=n_f
+                )
+                resampled = gather_particles(particles, idx)
+                if should is None:
+                    particles = resampled
+                    weights = uniform_w
+                    ess_rec = n_f
+                else:
+                    particles = jnp.where(should, resampled, particles)
+                    weights = jnp.where(should, uniform_w, weights)
+                    ess_rec = jnp.where(should, n_f, ess)
+            else:
+                ess_rec = ess
 
         # --- RMPF rejuvenation move, vectorized over particles (:226-234) ---
         if algorithm == "RMPF":

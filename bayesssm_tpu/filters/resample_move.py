@@ -28,6 +28,8 @@ def resample_move_filter(
     resample_fn: str = "stratified",
     return_particles: bool = True,
     max_particles=None,
+    carry_weights: bool = False,
+    use_fused: str | bool = "auto",
 ):
     """Run a resample-move particle filter; returns a ``FilterResult``.
 
@@ -50,4 +52,6 @@ def resample_move_filter(
         resample_fn=resample_fn,
         return_particles=return_particles,
         max_particles=max_particles,
+        carry_weights=carry_weights,
+        use_fused=use_fused,
     )
