@@ -302,10 +302,11 @@ def pmmh(
         )
 
     # Static particle-lane bound: max tuned count, padded to a multiple of
-    # 64 for TPU lane alignment; per-chain masking keeps each chain at its
-    # own target_n (Q9).
+    # 128 (TPU lane width; also the fused Pallas kernel's alignment
+    # requirement); per-chain masking keeps each chain at its own target_n
+    # (Q9).
     max_n = int(target_n.max())
-    max_particles = ((max_n + 63) // 64) * 64
+    max_particles = ((max_n + 127) // 128) * 128
 
     # ---------------- phase 2: main PMMH chains (chunked) ----------------
     pf = _make_pf_loglike(
