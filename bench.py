@@ -122,6 +122,10 @@ def main():
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--calls", type=int, default=3)
     ap.add_argument("--baseline-steps", type=int, default=6)
+    ap.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="write a jax.profiler trace of the timed region to DIR",
+    )
     args = ap.parse_args()
 
     if args.quick:
@@ -132,9 +136,21 @@ def main():
 
     _, y = simulate_sir(seed=1405)
 
-    value = tpu_samples_per_sec(
-        y, args.chains, args.particles, args.steps, args.calls
-    )
+    if args.profile:
+        import contextlib
+
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+
+        profile_ctx = contextlib.nullcontext()
+
+    with profile_ctx:
+        value = tpu_samples_per_sec(
+            y, args.chains, args.particles, args.steps, args.calls
+        )
     base = baseline_samples_per_sec(y, args.particles, args.baseline_steps)
 
     print(
