@@ -52,58 +52,75 @@ def pallas_available() -> bool:
 
 def _kernel(lw_ref, particles_ref, pos_ref, uniform_ref, thr_ref,
             pout_ref, wout_ref, ess_ref, lse_ref, always_resample: bool):
+    """Blocked kernel: each grid program handles B chains at once.
+
+    Block shapes: lw/pos/uniform/wout [B, N]; particles/pout [B, N, d];
+    thr/ess/lse [B, 1].
+    """
     from jax.experimental.pallas import tpu as pltpu
 
-    lw = lw_ref[0, :]                      # [N]
-    n = lw.shape[0]
-    mx = jnp.max(lw)
+    lw = lw_ref[:, :]                      # [B, N]
+    b, n = lw.shape
+    mx = jnp.max(lw, axis=-1, keepdims=True)          # [B, 1]
     shifted = jnp.exp(lw - mx)
-    s = jnp.sum(shifted)
-    w = shifted / s                        # normalized weights [N]
-    ess = 1.0 / jnp.sum(w * w)
-    lse_ref[:, :] = (mx + jnp.log(s)).reshape(1, 1)
-    ess_ref[:, :] = ess.reshape(1, 1)
+    s = jnp.sum(shifted, axis=-1, keepdims=True)      # [B, 1]
+    w = shifted / s                                   # normalized [B, N]
+    ess = 1.0 / jnp.sum(w * w, axis=-1, keepdims=True)
+    lse_ref[:, :] = mx + jnp.log(s)
+    ess_ref[:, :] = ess
 
-    # Cumulative sum as a Hillis-Steele shift-add scan (log2(n) VPU passes;
-    # Mosaic has no cumsum primitive).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    cdf2 = w.reshape(1, n)
+    # Cumulative sum along lanes as a Hillis-Steele shift-add scan
+    # (log2(n) VPU passes; Mosaic has no cumsum primitive).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    cdf = w
     shift = 1
     while shift < n:
-        shifted_w = pltpu.roll(cdf2, shift, axis=1)
-        cdf2 = cdf2 + jnp.where(lane >= shift, shifted_w, 0.0)
+        rolled = pltpu.roll(cdf, shift, axis=1)
+        cdf = cdf + jnp.where(lane >= shift, rolled, 0.0)
         shift *= 2
-    cdf = cdf2[0]                                   # [N]
     cdf_prev = cdf - w
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    pos = pos_ref[0, :]                    # [N] stratum positions
-    pos_col = pos.reshape(n, 1)
-    # Selection matrix: output slot j takes the first ancestor i whose CDF
-    # segment contains pos_j; overflowing positions (float cumsum
-    # undershoot) clamp to the last lane, maskwise (Mosaic has no scatter).
+    pos = pos_ref[:, :]                               # [B, N]
+    pos_col = pos[:, :, None]                         # [B, N, 1]
+    # Selection matrix per chain: output slot j takes the first ancestor i
+    # whose CDF segment contains pos_j; overflowing positions (float cumsum
+    # undershoot) clamp to the last lane, maskwise (no scatter in Mosaic).
     m = jnp.logical_and(
-        pos_col >= cdf_prev.reshape(1, n), pos_col < cdf.reshape(1, n)
-    )
-    overflow = pos_col >= cdf[n - 1]                # [n, 1]
+        pos_col >= cdf_prev[:, None, :], pos_col < cdf[:, None, :]
+    )                                                 # [B, N, N]
+    # cdf is non-decreasing, so its max is the final entry (avoids indexing
+    # primitives Mosaic can't lower).
+    overflow = pos_col >= jnp.max(cdf, axis=1)[:, None, None]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, n, n), 2)
     m = jnp.logical_or(m, jnp.logical_and(overflow, col_ids == n - 1))
     mf = m.astype(particles_ref.dtype)
 
-    resampled = jnp.dot(
-        mf, particles_ref[:, :], preferred_element_type=jnp.float32,
+    resampled = jax.lax.dot_general(
+        mf, particles_ref[:, :, :],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    ).astype(particles_ref.dtype)
+    ).astype(particles_ref.dtype)                     # [B, N, d]
 
     if always_resample:
-        pout_ref[:, :] = resampled
-        wout_ref[0, :] = uniform_ref[0, :]
+        pout_ref[:, :, :] = resampled
+        wout_ref[:, :] = uniform_ref[:, :]
     else:
-        do = ess < thr_ref[0, 0]
-        pout_ref[:, :] = jnp.where(do, resampled, particles_ref[:, :])
-        wout_ref[0, :] = jnp.where(do, uniform_ref[0, :], w)
+        do = ess < thr_ref[:, :]                      # [B, 1]
+        pout_ref[:, :, :] = jnp.where(
+            do[:, :, None], resampled, particles_ref[:, :, :]
+        )
+        wout_ref[:, :] = jnp.where(do, uniform_ref[:, :], w)
+
+
+# VMEM budget (bytes) for the in-kernel [B, N, N] selection matrix; sets
+# how many chains one grid program processes. The kernel holds ~4 copies
+# of the matrix live (mask, float cast, matmul operand/accumulator), so
+# this must stay well under the 16 MB VMEM limit / 4.
+_SELECTION_VMEM_BUDGET = 1024 * 1024
 
 
 def _batched_call(lw, particles, pos, uniform, thr, always_resample, interpret):
-    """Gridded kernel over the chain axis. Shapes: lw/pos/uniform [C, N],
+    """Gridded kernel over chain blocks. Shapes: lw/pos/uniform [C, N],
     particles [C, N, d], thr [C]. Returns (pout, wout, ess, lse)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -111,38 +128,58 @@ def _batched_call(lw, particles, pos, uniform, thr, always_resample, interpret):
     c, n = lw.shape
     d = particles.shape[-1]
     dtype = particles.dtype
+
+    b = max(1, min(c, _SELECTION_VMEM_BUDGET // (n * n * 4)))
+    b = 1 << (b.bit_length() - 1)  # power of two
+    g = -(-c // b)
+    pad = g * b - c
+    if pad:
+        def padc(x):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        lw, particles, pos, uniform, thr = map(
+            padc, (lw, particles, pos, uniform, thr)
+        )
+
     kernel = functools.partial(_kernel, always_resample=always_resample)
     space = pltpu.ANY if interpret else pltpu.VMEM
 
-    def row_spec():
-        return pl.BlockSpec((None, 1, n), lambda i: (i, 0, 0), memory_space=space)
-
-    def mat_spec():
-        return pl.BlockSpec((None, n, d), lambda i: (i, 0, 0), memory_space=space)
-
-    def scalar_spec():
-        return pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0), memory_space=space)
+    def spec(*dims):
+        # Leading None = grid-mapped chain-block dim; the remaining dims
+        # cover the whole trailing array shape (satisfies Mosaic's tiling
+        # rule for any block size).
+        return pl.BlockSpec(
+            (None,) + dims, lambda i: (i,) + (0,) * len(dims),
+            memory_space=space,
+        )
 
     pout, wout, ess, lse = pl.pallas_call(
         kernel,
-        grid=(c,),
+        grid=(g,),
         out_shape=(
-            jax.ShapeDtypeStruct((c, n, d), dtype),
-            jax.ShapeDtypeStruct((c, 1, n), dtype),
-            jax.ShapeDtypeStruct((c, 1, 1), dtype),
-            jax.ShapeDtypeStruct((c, 1, 1), dtype),
+            jax.ShapeDtypeStruct((g, b, n, d), dtype),
+            jax.ShapeDtypeStruct((g, b, n), dtype),
+            jax.ShapeDtypeStruct((g, b, 1), dtype),
+            jax.ShapeDtypeStruct((g, b, 1), dtype),
         ),
-        in_specs=[row_spec(), mat_spec(), row_spec(), row_spec(), scalar_spec()],
-        out_specs=(mat_spec(), row_spec(), scalar_spec(), scalar_spec()),
+        in_specs=[
+            spec(b, n), spec(b, n, d), spec(b, n), spec(b, n), spec(b, 1),
+        ],
+        out_specs=(spec(b, n, d), spec(b, n), spec(b, 1), spec(b, 1)),
         interpret=interpret,
     )(
-        lw.reshape(c, 1, n).astype(dtype),
-        particles,
-        pos.reshape(c, 1, n).astype(dtype),
-        uniform.reshape(c, 1, n).astype(dtype),
-        thr.reshape(c, 1, 1).astype(dtype),
+        lw.astype(dtype).reshape(g, b, n),
+        particles.reshape(g, b, n, d),
+        pos.astype(dtype).reshape(g, b, n),
+        uniform.astype(dtype).reshape(g, b, n),
+        thr.astype(dtype).reshape(g, b, 1),
     )
-    return pout, wout[:, 0, :], ess[:, 0, 0], lse[:, 0, 0]
+    pout = pout.reshape(g * b, n, d)[:c]
+    wout = wout.reshape(g * b, n)[:c]
+    ess = ess.reshape(g * b)[:c]
+    lse = lse.reshape(g * b)[:c]
+    return pout, wout, ess, lse
 
 
 @functools.lru_cache(maxsize=None)
