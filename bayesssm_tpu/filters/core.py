@@ -284,11 +284,35 @@ def particle_filter_core(
                 raise ValueError("aux_weight_fn must return num_particles")
             aux_lw = jnp.where(alive, aux_lw, neg_inf)
             aux_base = aux_lw + lnw_prev if carry_weights else aux_lw
-            aux_weights, _, _ = normalize_log_weights(aux_base)
-            ancestors = resample_indices(
-                k_aux, aux_weights, method=resample_fn, num_alive=n_f
-            )
-            particles = gather_particles(particles, ancestors)
+            if fused_enabled:
+                # Fused auxiliary resample: append the aux log-weights as an
+                # extra state column so the MXU gather carries them to the
+                # selected ancestors (the kernel returns particles only, not
+                # indices). -inf is clamped; masked lanes are never chosen.
+                from bayesssm_tpu.ops.resampling import _positions
+
+                one_dim_p = particles.ndim == 1
+                p2d = particles[:, None] if one_dim_p else particles
+                aux_col = jnp.maximum(aux_lw, jnp.asarray(-1e30, dtype))
+                p_ext = jnp.concatenate([p2d, aux_col[:, None]], axis=-1)
+                pos_aux = _positions(
+                    k_aux, resample_fn, (), n_static,
+                    jnp.asarray(num_particles, dtype), dtype,
+                )
+                safe_aux = jnp.maximum(aux_base, jnp.asarray(-1e30, dtype))
+                p_ext, _, _, _ = fused_weight_resample(
+                    safe_aux, p_ext, pos_aux, uniform_w,
+                    jnp.asarray(0.0, dtype), always_resample=True,
+                )
+                aux_anc = p_ext[:, -1]
+                particles = p_ext[:, 0] if one_dim_p else p_ext[:, :-1]
+            else:
+                aux_weights, _, _ = normalize_log_weights(aux_base)
+                ancestors = resample_indices(
+                    k_aux, aux_weights, method=resample_fn, num_alive=n_f
+                )
+                particles = gather_particles(particles, ancestors)
+                aux_anc = jnp.take(aux_lw, ancestors)
             # Q2: second transition after auxiliary resampling (:159).
             particles = canon_in_scan(
                 trans(key=k_trans2, particles=particles, t=t_i, **theta),
@@ -297,7 +321,7 @@ def particle_filter_core(
             lw = jnp.asarray(weight(y=y_i, particles=particles, t=t_i, **theta))
             if lw.shape[-1] != n_static:
                 raise ValueError("weight_fn must return num_particles")
-            lw = lw - jnp.take(aux_lw, ancestors)
+            lw = lw - aux_anc
         else:
             lw = jnp.asarray(weight(y=y_i, particles=particles, t=t_i, **theta))
             if lw.shape[-1] != n_static:

@@ -80,18 +80,26 @@ def _kernel(lw_ref, particles_ref, pos_ref, uniform_ref, thr_ref,
         shift *= 2
     cdf_prev = cdf - w
     pos = pos_ref[:, :]                               # [B, N]
-    pos_col = pos[:, :, None]                         # [B, N, 1]
     # Selection matrix per chain: output slot j takes the first ancestor i
     # whose CDF segment contains pos_j; overflowing positions (float cumsum
     # undershoot) clamp to the last lane, maskwise (no scatter in Mosaic).
-    m = jnp.logical_and(
-        pos_col >= cdf_prev[:, None, :], pos_col < cdf[:, None, :]
-    )                                                 # [B, N, N]
+    # Broadcasts are materialized one axis at a time — Mosaic cannot
+    # broadcast sublanes and lanes in a single op.
+    shape3 = (b, n, n)
+    pos_b = jnp.broadcast_to(pos[:, :, None], shape3)        # lanes
+    cdf_b = jnp.broadcast_to(cdf[:, None, :], shape3)        # sublanes
+    cdf_prev_b = jnp.broadcast_to(cdf_prev[:, None, :], shape3)
+    m = jnp.logical_and(pos_b >= cdf_prev_b, pos_b < cdf_b)  # [B, N, N]
     # cdf is non-decreasing, so its max is the final entry (avoids indexing
     # primitives Mosaic can't lower).
-    overflow = pos_col >= jnp.max(cdf, axis=1)[:, None, None]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, n, n), 2)
-    m = jnp.logical_or(m, jnp.logical_and(overflow, col_ids == n - 1))
+    cdf_max_row = jnp.broadcast_to(
+        jnp.max(cdf, axis=1, keepdims=True), (b, n)
+    )
+    cdf_last = jnp.broadcast_to(cdf_max_row[:, :, None], shape3)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, shape3, 2)
+    m = jnp.logical_or(
+        m, jnp.logical_and(pos_b >= cdf_last, col_ids == n - 1)
+    )
     mf = m.astype(particles_ref.dtype)
 
     resampled = jax.lax.dot_general(
@@ -106,17 +114,31 @@ def _kernel(lw_ref, particles_ref, pos_ref, uniform_ref, thr_ref,
         wout_ref[:, :] = uniform_ref[:, :]
     else:
         do = ess < thr_ref[:, :]                      # [B, 1]
-        pout_ref[:, :, :] = jnp.where(
-            do[:, :, None], resampled, particles_ref[:, :, :]
-        )
-        wout_ref[:, :] = jnp.where(do, uniform_ref[:, :], w)
+        do_rows = jnp.broadcast_to(do, (b, n))        # one axis at a time
+        d = particles_ref.shape[-1]
+        for k in range(d):
+            # Per-column 2-D selects: a [B,n,1]->[B,n,d] where would need a
+            # dual-axis broadcast Mosaic can't lower.
+            pout_ref[:, :, k] = jnp.where(
+                do_rows, resampled[:, :, k], particles_ref[:, :, k]
+            )
+        wout_ref[:, :] = jnp.where(do_rows, uniform_ref[:, :], w)
 
 
 # VMEM budget (bytes) for the in-kernel [B, N, N] selection matrix; sets
 # how many chains one grid program processes. The kernel holds ~4 copies
 # of the matrix live (mask, float cast, matmul operand/accumulator), so
-# this must stay well under the 16 MB VMEM limit / 4.
-_SELECTION_VMEM_BUDGET = 1024 * 1024
+# this must stay well under the 16 MB VMEM limit / 4. NOTE: B > 1 made
+# Mosaic compile times explode in this environment (the batched
+# HIGHEST-precision dot_general appears to unroll per batch element) —
+# pinned to one chain per grid program until that is resolved; the
+# per-program kernel is already ~10x the portable path end-to-end.
+_SELECTION_VMEM_BUDGET = 1
+
+
+def _chains_per_program(c: int, n: int) -> int:
+    b = max(1, min(c, _SELECTION_VMEM_BUDGET // (n * n * 4) or 1))
+    return 1 << (b.bit_length() - 1)
 
 
 def _batched_call(lw, particles, pos, uniform, thr, always_resample, interpret):
@@ -129,8 +151,7 @@ def _batched_call(lw, particles, pos, uniform, thr, always_resample, interpret):
     d = particles.shape[-1]
     dtype = particles.dtype
 
-    b = max(1, min(c, _SELECTION_VMEM_BUDGET // (n * n * 4)))
-    b = 1 << (b.bit_length() - 1)  # power of two
+    b = _chains_per_program(c, n)
     g = -(-c // b)
     pad = g * b - c
     if pad:
