@@ -24,7 +24,7 @@ import numpy as np
 
 from bayesssm_tpu.models.distributions import halfnorm_logpdf, pois_logpmf
 
-__all__ = ["sir_model", "simulate_sir"]
+__all__ = ["sir_model", "simulate_sir", "gillespie_step", "tau_leap_step"]
 
 # Hard cap on Gillespie events per unit interval; with rates bounded by
 # (lambda/4) n + gamma n the true event count is far below this for the
@@ -80,7 +80,40 @@ def gillespie_step(key, state, lam, gamma, n_total, t_end=1.0, unroll=4):
     return jnp.stack([s, i], axis=-1)
 
 
-def sir_model(n_total: int = 500, init_infected: int = 70):
+def tau_leap_step(key, state, lam, gamma, n_total, substeps: int = 10):
+    """Approximate SIR day-step by binomial tau-leaping.
+
+    Fixed-cost alternative to the exact ``gillespie_step``: the unit
+    interval is divided into ``substeps`` leaps; infections per leap are
+    Binomial(S, 1 - exp(-lam I / n dt)) and removals Binomial(I,
+    1 - exp(-gamma dt)). No data-dependent loop, so all lanes cost the
+    same — several times faster than the exact simulator on TPU at the
+    price of a discretization bias that vanishes as substeps grows.
+    """
+    dt = 1.0 / substeps
+
+    def body(carry, k):
+        s, i = carry
+        k1, k2 = jax.random.split(k)
+        p_inf = -jnp.expm1(-(lam / n_total) * i * dt)
+        p_rem = -jnp.expm1(-gamma * dt)
+        n_inf = jax.random.binomial(k1, s, p_inf)
+        n_rem = jax.random.binomial(k2, i, p_rem)
+        s = s - n_inf
+        i = jnp.maximum(i + n_inf - n_rem, 0.0)
+        return (s, i), None
+
+    keys = jax.random.split(key, substeps)
+    (s, i), _ = jax.lax.scan(body, (state[..., 0], state[..., 1]), keys)
+    return jnp.stack([s, i], axis=-1)
+
+
+def sir_model(
+    n_total: int = 500,
+    init_infected: int = 70,
+    transition: str = "gillespie",
+    substeps: int = 10,
+):
     """Return (model_fns, log_priors, param_transform) for the SIR model.
 
     Mirrors the vignette's init/transition/likelihood functions
@@ -88,6 +121,8 @@ def sir_model(n_total: int = 500, init_infected: int = 70):
     initial state, the transition is one unit of exact Gillespie dynamics,
     and the likelihood is Poisson in the infectious count.
     """
+    if transition not in ("gillespie", "tauleap"):
+        raise ValueError("transition must be 'gillespie' or 'tauleap'")
     s0 = float(n_total - init_infected)
     i0 = float(init_infected)
 
@@ -96,8 +131,14 @@ def sir_model(n_total: int = 500, init_infected: int = 70):
             jnp.array([s0, i0], dtype=jnp.float32), (num_particles, 1)
         )
 
-    def transition_fn(key, particles, lam, gamma):
-        return gillespie_step(key, particles, lam, gamma, float(n_total))
+    if transition == "gillespie":
+        def transition_fn(key, particles, lam, gamma):
+            return gillespie_step(key, particles, lam, gamma, float(n_total))
+    else:
+        def transition_fn(key, particles, lam, gamma):
+            return tau_leap_step(
+                key, particles, lam, gamma, float(n_total), substeps
+            )
 
     def log_likelihood_fn(y, particles):
         return pois_logpmf(y, particles[..., 1])

@@ -142,3 +142,35 @@ class TestSIR:
         ll_true = np.mean([ll({"lam": 0.5, "gamma": 0.2}, k) for k in keys])
         ll_bad = np.mean([ll({"lam": 2.0, "gamma": 1.0}, k) for k in keys])
         assert ll_true > ll_bad
+
+
+class TestTauLeap:
+    def test_tau_leap_moments_match_gillespie(self):
+        from bayesssm_tpu.models.sir import tau_leap_step
+
+        lam, gamma, n_total = 0.5, 0.2, 500.0
+        state = jnp.tile(jnp.array([430.0, 70.0]), (4096, 1))
+        exact = gillespie_step(jax.random.key(0), state, lam, gamma, n_total)
+        leap = tau_leap_step(
+            jax.random.key(1), state, lam, gamma, n_total, substeps=20
+        )
+        i_e, i_l = np.asarray(exact[:, 1]), np.asarray(leap[:, 1])
+        assert abs(i_e.mean() - i_l.mean()) < 2.5
+        assert abs(i_e.std() - i_l.std()) < 2.0
+        s_e, s_l = np.asarray(exact[:, 0]), np.asarray(leap[:, 0])
+        assert abs(s_e.mean() - s_l.mean()) < 2.5
+
+    def test_tauleap_model_filter(self):
+        (init_fn, trans_fn, loglik_fn), _, _ = sir_model(transition="tauleap")
+        _, y = simulate_sir(seed=1405)
+        res = bootstrap_filter(
+            jax.random.key(3), y, 128, init_fn, trans_fn, loglik_fn,
+            theta={"lam": 0.5, "gamma": 0.2}, return_particles=False,
+        )
+        assert np.isfinite(float(res.loglike))
+
+    def test_bad_transition_name(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="gillespie"):
+            sir_model(transition="exact")
