@@ -197,6 +197,9 @@ def run_pilot_chain(
     proposal_sd = jnp.broadcast_to(
         jnp.asarray(control.pilot_proposal_sd, dtype=init_theta.dtype), (p,)
     )
+    # Pad the pilot filter's lane count to a multiple of 128 (masked lanes
+    # keep the effective particle count at exactly pilot_n) so the pilot
+    # chain also rides the fused TPU kernel.
     pf = _make_pf_loglike(
         y,
         control.pilot_n,
@@ -207,6 +210,7 @@ def run_pilot_chain(
         control.pilot_resample_algorithm,
         control.pilot_resample_fn,
         carry_weights,
+        max_particles=((control.pilot_n + 127) // 128) * 128,
     )
 
     key, k0 = jax.random.split(key)
