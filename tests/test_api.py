@@ -1,0 +1,56 @@
+"""Public API surface tests: lazy exports and the SSM bundle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bayesssm_tpu
+
+
+def test_public_exports():
+    # Mirror of the reference NAMESPACE (NAMESPACE:3-11).
+    for name in [
+        "pmmh", "bootstrap_filter", "auxiliary_filter",
+        "resample_move_filter", "default_tune_control", "ess", "rhat",
+        "PMMHOutput", "SSM", "particle_filter_core",
+    ]:
+        assert callable(getattr(bayesssm_tpu, name)) or name == "PMMHOutput"
+
+
+def test_unknown_attr_raises():
+    with pytest.raises(AttributeError):
+        bayesssm_tpu.not_a_thing
+
+
+def test_ssm_bundle_adapts_and_validates():
+    def init_fn(key, num_particles):
+        return jax.random.normal(key, (num_particles,))
+
+    def transition_fn(key, particles, mu):
+        return particles + mu
+
+    def log_likelihood_fn(y, particles, sigma):
+        return -((y - particles) / sigma) ** 2
+
+    ssm = bayesssm_tpu.SSM(init_fn, transition_fn, log_likelihood_fn)
+    init, trans, loglik, aux, move = ssm.adapted()
+    assert aux is None and move is None
+    p = init(key=jax.random.key(0), num_particles=4, mu=1.0, sigma=0.5)
+    assert p.shape == (4,)
+    out = trans(key=jax.random.key(0), particles=p, t=1, mu=1.0, sigma=0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(p) + 1.0)
+
+    ssm.check_params_match({"mu": 1.0, "sigma": 0.5}, {"mu": 1, "sigma": 1})
+    with pytest.raises(ValueError, match="log_priors"):
+        ssm.check_params_match({"mu": 1.0, "sigma": 0.5}, {"mu": 1})
+
+
+def test_ssm_missing_required_arg():
+    ssm = bayesssm_tpu.SSM(
+        lambda key: jnp.zeros(4),
+        lambda key, particles: particles,
+        lambda y, particles: particles,
+    )
+    with pytest.raises(ValueError, match="num_particles"):
+        ssm.adapted()
