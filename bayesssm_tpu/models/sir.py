@@ -48,6 +48,16 @@ def gillespie_step(key, state, lam, gamma, n_total, t_end=1.0, unroll=4):
     t = jnp.zeros_like(s)
     active = i > 0
 
+    # The event loop burns millions of uniforms; threefry bit generation
+    # dominates its cost on TPU. Re-key the loop's stream onto the
+    # hardware-accelerated RBG generator (seeded from the caller's key, so
+    # determinism per key is preserved).
+    kd = jnp.ravel(jax.random.key_data(key)).astype(jnp.uint32)
+    reps = -(-4 // kd.shape[0])
+    key = jax.random.wrap_key_data(
+        jnp.tile(kd, reps)[:4], impl="rbg"
+    )
+
     def cond(carry):
         _, _, _, _, active, steps = carry
         return jnp.logical_and(jnp.any(active), steps < MAX_EVENTS)

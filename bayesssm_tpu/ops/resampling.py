@@ -32,11 +32,53 @@ __all__ = [
     "resample_multinomial",
     "resample_stratified",
     "resample_systematic",
+    "metropolis_resample_indices",
     "gather_particles",
     "RESAMPLE_METHODS",
 ]
 
 RESAMPLE_METHODS = ("stratified", "systematic", "multinomial")
+
+
+def metropolis_resample_indices(
+    key: jax.Array,
+    weights: jnp.ndarray,
+    num_steps: int = 32,
+) -> jnp.ndarray:
+    """Metropolis resampling (Murray 2012, arXiv:1202.6163).
+
+    A collective-free alternative to inverse-CDF resampling: every output
+    slot runs ``num_steps`` Metropolis steps over ancestor indices with
+    acceptance ratio ``w_proposal / w_current`` — no cumulative sum, no
+    sorted lookups, fully lane-parallel, which makes it attractive on very
+    wide accelerators and for sharded particle populations. The chain
+    targets the correct categorical distribution; finite ``num_steps``
+    introduces a small, geometrically-decaying bias (choose num_steps ~
+    log(n) / log(1/beta); 32 is ample for the particle counts here).
+
+    Not part of the reference's surface (it ships only
+    multinomial/stratified/systematic); provided as an extra method.
+    """
+    weights = jnp.asarray(weights)
+    n = weights.shape[-1]
+    batch_shape = weights.shape[:-1]
+    idx0 = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32), batch_shape + (n,)
+    )
+
+    def step(idx, k):
+        k_u, k_p = jax.random.split(k)
+        proposal = jax.random.randint(
+            k_p, batch_shape + (n,), 0, n, dtype=jnp.int32
+        )
+        u = jax.random.uniform(k_u, batch_shape + (n,), dtype=weights.dtype)
+        w_cur = jnp.take_along_axis(weights, idx, axis=-1)
+        w_prop = jnp.take_along_axis(weights, proposal, axis=-1)
+        accept = u * w_cur < w_prop
+        return jnp.where(accept, proposal, idx), None
+
+    idx, _ = jax.lax.scan(step, idx0, jax.random.split(key, num_steps))
+    return idx
 
 
 def _batched_searchsorted(cdf: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:

@@ -135,3 +135,26 @@ def test_num_alive_frequencies():
     counts = np.bincount(np.asarray(idx)[:, :3].ravel(), minlength=3)
     freqs = counts / (reps * 3)
     np.testing.assert_allclose(freqs, [0.5, 0.3, 0.2], atol=0.05)
+
+
+def test_metropolis_resampler_frequencies():
+    # Murray (2012) Metropolis resampling: ancestor frequencies converge to
+    # the weights as num_steps grows.
+    from bayesssm_tpu.ops.resampling import metropolis_resample_indices
+
+    w = jnp.array([0.1, 0.2, 0.3, 0.4])
+    reps = 4000
+    keys = jax.random.split(jax.random.key(17), reps)
+    idx = jax.vmap(
+        lambda k: metropolis_resample_indices(k, w, num_steps=64)
+    )(keys)
+    counts = np.bincount(np.asarray(idx).ravel(), minlength=4)
+    np.testing.assert_allclose(counts / (reps * 4), np.asarray(w), atol=0.05)
+
+
+def test_metropolis_resampler_atom():
+    from bayesssm_tpu.ops.resampling import metropolis_resample_indices
+
+    w = jnp.array([0.0, 0.0, 1.0, 0.0])
+    idx = metropolis_resample_indices(jax.random.key(0), w, num_steps=64)
+    np.testing.assert_array_equal(np.asarray(idx), np.full(4, 2))
