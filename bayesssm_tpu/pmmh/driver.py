@@ -172,6 +172,10 @@ def pmmh(
         raise ValueError("num_chains must be an integer >= 1")
     if not isinstance(log_priors, dict) or len(log_priors) == 0:
         raise ValueError("log_priors must be a non-empty dict of callables")
+    y_host = np.asarray(y)
+    if not np.issubdtype(y_host.dtype, np.number) or np.isnan(y_host).any():
+        # assert_numeric(y, any.missing = FALSE), R/pmmh.R:263.
+        raise ValueError("y must be numeric with no missing values")
 
     algorithm = _resolve_algorithm(pf_wrapper)
     if algorithm == "APF" and aux_log_likelihood_fn is None:
@@ -414,6 +418,8 @@ def pmmh(
     sampling_timer = timer.phase("sampling")
     sampling_timer.__enter__()
     while steps_done < m:
+        if verbose:
+            print(f"Sampling: step {steps_done}/{m}...")
         length = min(chunk_size, m - steps_done)
         (cur_keys, cur_theta, cur_ll, cur_se), outs = chunk_fn(length)(
             cur_keys, cur_theta, cur_ll, cur_se, factors, n_chain_arr

@@ -181,3 +181,16 @@ class TestPosteriorRecovery:
         assert abs(summ["a"]["mean"] - 0.7) < 0.35
         assert abs(summ["sigma_x"]["mean"] - 0.8) < 0.5
         assert abs(summ["sigma_y"]["mean"] - 0.4) < 0.4
+
+
+class TestInputValidation:
+    def test_nan_in_y_raises(self):
+        bad_y = np.array(Y, copy=True)
+        bad_y[3] = np.nan
+        with pytest.raises(ValueError, match="no missing values"):
+            pmmh(
+                "bootstrap_filter", bad_y, m=10, init_fn=INIT_FN,
+                transition_fn=TRANSITION_FN, log_likelihood_fn=LOGLIK_FN,
+                log_priors=LOG_PRIORS, pilot_init_params=INIT_PARAMS,
+                burn_in=1, num_chains=2, print_summary=False,
+            )
