@@ -92,13 +92,46 @@ def _warn_if_nan(value: float) -> float:
     return value
 
 
+def long_dataframe_to_dict(df):
+    """Convert the reference's long data.frame layout to a param dict.
+
+    The reference accepts a data.frame with a ``chain`` column and one
+    column per parameter (R/ESS.R:114-146, R/rhat.R:79-104); this is also
+    the layout of its ``pmmh_output`` object. Returns
+    ``{param: [chains, iterations]}`` with the reference's error contract.
+    """
+    if "chain" not in df.columns:
+        raise ValueError("Data frame must contain a 'chain' column.")
+    param_cols = [c for c in df.columns if c != "chain"]
+    chain_ids = df["chain"].unique()
+    out = {}
+    for param in param_cols:
+        per_chain = [
+            np.asarray(df[param][df["chain"] == cid]) for cid in chain_ids
+        ]
+        if len({len(v) for v in per_chain}) != 1:
+            raise ValueError(
+                "Not all chains have the same number of iterations."
+            )
+        out[param] = np.stack(per_chain, axis=0)
+    return out
+
+
+def _is_dataframe(obj) -> bool:
+    return hasattr(obj, "columns") and hasattr(obj, "__getitem__")
+
+
 def ess(chains):
     """Effective sample size of MCMC chains.
 
-    Accepts a ``[iterations, chains]`` matrix or a dict of
-    ``param -> [chains, iterations]`` arrays (the analogue of the
-    reference's data.frame-with-chain-column input, R/ESS.R:114-146).
+    Accepts a ``[iterations, chains]`` matrix, a pandas DataFrame in the
+    reference's long layout (a ``chain`` column plus one column per
+    parameter, R/ESS.R:114-146), or a dict of ``param ->
+    [chains, iterations]`` arrays. DataFrame/dict input returns a dict of
+    per-parameter values.
     """
+    if _is_dataframe(chains):
+        chains = long_dataframe_to_dict(chains)
     if isinstance(chains, dict):
         out = {}
         for param, arr in chains.items():
@@ -115,8 +148,8 @@ def ess(chains):
     mat = np.asarray(chains)
     if mat.ndim != 2:
         raise ValueError(
-            "Input must be a [iterations, chains] matrix or a dict of "
-            "[chains, iterations] arrays."
+            "Input must be a matrix or a data frame with a 'chain' column "
+            "(or a dict of [chains, iterations] arrays)."
         )
     _check_matrix(mat)
     return _warn_if_nan(float(ess_matrix(mat)))

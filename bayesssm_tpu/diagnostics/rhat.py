@@ -52,9 +52,15 @@ def _compute(mat: np.ndarray) -> float:
 def rhat(chains):
     """Split-Rhat of MCMC chains.
 
-    Accepts a ``[iterations, chains]`` matrix or a dict of
-    ``param -> [chains, iterations]`` arrays (see ess()).
+    Accepts a ``[iterations, chains]`` matrix, a pandas DataFrame in the
+    reference's long layout (a ``chain`` column plus parameter columns,
+    R/rhat.R:79-104), or a dict of ``param -> [chains, iterations]``
+    arrays (see ess()).
     """
+    from bayesssm_tpu.diagnostics.ess import _is_dataframe, long_dataframe_to_dict
+
+    if _is_dataframe(chains):
+        chains = long_dataframe_to_dict(chains)
     if isinstance(chains, dict):
         out = {}
         for param, arr in chains.items():
@@ -69,7 +75,7 @@ def rhat(chains):
     mat = np.asarray(chains)
     if mat.ndim != 2:
         raise ValueError(
-            "Input must be a [iterations, chains] matrix or a dict of "
-            "[chains, iterations] arrays."
+            "Input must be a matrix or a data frame with a 'chain' column "
+            "(or a dict of [chains, iterations] arrays)."
         )
     return _compute(mat)

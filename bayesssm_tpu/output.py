@@ -79,6 +79,23 @@ class PMMHOutput:
         summ = self.summary()
         return pd.DataFrame.from_dict(summ, orient="index")
 
+    def chains_dataframe(self):
+        """Post-burn-in draws in the reference's long layout.
+
+        The reference's ``pmmh_output`` IS this data.frame — chains bound
+        row-wise with a ``chain`` id column plus one column per parameter
+        (R/pmmh.R:596-608). Feed it straight to ``ess()``/``rhat()``.
+        """
+        import pandas as pd
+
+        cols = {}
+        for param in self.param_names:
+            cols[param] = np.asarray(self.theta_chain[param]).ravel()
+        first = np.asarray(next(iter(self.theta_chain.values())))
+        k, m = first.shape
+        cols["chain"] = np.repeat(np.arange(1, k + 1), m)
+        return pd.DataFrame(cols)
+
     def __str__(self) -> str:
         rows = []
         for param in self.param_names:

@@ -166,3 +166,74 @@ class TestRhat:
         mat = np.ones((100, 2))
         with pytest.warns(UserWarning, match="zero variance"):
             assert np.isnan(rhat(mat))
+
+
+class TestDataFrameInput:
+    """Long-data.frame input mode (test-ESS.R:24-33,57-75; test-rhat.R)."""
+
+    def _df(self, n=3000, k=3, seed=11):
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame(
+            {
+                "chain": np.repeat(np.arange(1, k + 1), n // k),
+                "param1": rng.normal(size=n),
+                "param2": rng.normal(size=n),
+            }
+        )
+
+    def test_ess_dataframe_iid(self):
+        n = 3000
+        out = ess(self._df(n))
+        assert set(out) == {"param1", "param2"}
+        for v in out.values():
+            # Geyer-truncated ESS on iid chains fluctuates well beyond the
+            # nominal 5%; bound it loosely (the reference's testthat
+            # tolerance is relative and effectively looser still).
+            assert 0.7 * n < v <= n + 1
+
+    def test_rhat_dataframe_stationary(self):
+        out = rhat(self._df())
+        assert all(v < 1.01 for v in out.values())
+
+    def test_missing_chain_column(self):
+        import pandas as pd
+
+        df = pd.DataFrame({"a": [1.0, 2, 3], "b": [4.0, 5, 6]})
+        with pytest.raises(ValueError, match="must contain a 'chain' column"):
+            ess(df)
+        with pytest.raises(ValueError, match="must contain a 'chain' column"):
+            rhat(df)
+
+    def test_unequal_chain_lengths(self):
+        import pandas as pd
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {
+                "chain": [1, 1, 1, 1, 1, 2, 2, 2],
+                "param1": rng.normal(size=8),
+            }
+        )
+        with pytest.raises(ValueError, match="same number of iterations"):
+            ess(df)
+        with pytest.raises(ValueError, match="same number of iterations"):
+            rhat(df)
+
+    def test_pmmh_output_roundtrip(self):
+        from bayesssm_tpu.output import PMMHOutput
+
+        rng = np.random.default_rng(5)
+        theta = {"phi": rng.normal(size=(2, 100)), "sig": rng.normal(size=(2, 100))}
+        out = PMMHOutput(theta_chain=theta, diagnostics={})
+        df = out.chains_dataframe()
+        assert list(df.columns) == ["phi", "sig", "chain"]
+        assert len(df) == 200
+        e = ess(df)
+        r = rhat(df)
+        assert set(e) == set(r) == {"phi", "sig"}
+        # column content matches the per-chain layout
+        np.testing.assert_allclose(
+            df["phi"][df["chain"] == 1], theta["phi"][0]
+        )
