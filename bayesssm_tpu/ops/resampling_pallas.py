@@ -5,14 +5,16 @@ step of the particle filter (the ops the reference spreads across
 R/particle_filter_core.R:204-224 and src/resampling.cpp):
 
     max-shift -> exp -> sum -> normalize -> ESS -> CDF (shift-add scan) ->
-    inverse-CDF selection matrix -> MXU gather-by-matmul ->
+    inverse-CDF selection matrix -> masked-reduce gather ->
     adaptive resample select
 
 Instead of a serial inverse-CDF walk (the reference's C++) or a
 searchsorted+gather pair (the portable jnp path in ops/resampling.py), the
 ancestor selection is a boolean matrix ``M[j, i] = cdf_{i-1} <= pos_j <
-cdf_i`` contracted against the particle block on the MXU — comparisons
-plus one matmul, the TPU-native formulation. Stratum positions are
+cdf_i`` reduced against the particle block on the VPU (each row selects
+exactly one ancestor, so the masked sum is exact in f32) — the
+gather-free TPU-native formulation, and it batches chains per grid
+program with no per-batch unroll. Stratum positions are
 computed OUTSIDE the kernel (they carry the RNG and the masked-lane
 logic), so the fused path samples from exactly the same distribution as
 the portable path.
@@ -100,40 +102,48 @@ def _kernel(lw_ref, particles_ref, pos_ref, uniform_ref, thr_ref,
     m = jnp.logical_or(
         m, jnp.logical_and(pos_b >= cdf_last, col_ids == n - 1)
     )
-    mf = m.astype(particles_ref.dtype)
-
-    resampled = jax.lax.dot_general(
-        mf, particles_ref[:, :, :],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(particles_ref.dtype)                     # [B, N, d]
-
+    # Gather-by-selection as a VPU masked reduce, one state column at a
+    # time: resampled[b, j, k] = sum_i m[b, j, i] * p[b, i, k]. Each row of
+    # ``m`` selects exactly one ancestor, so the sum has a single nonzero
+    # term and is EXACT in f32 (no MXU precision caveats). Unlike the
+    # earlier per-chain HIGHEST-precision dot_general (which Mosaic
+    # unrolled per batch element, exploding compile time), this form
+    # batches over chains, letting one grid program process B chains —
+    # grid count drops from C to C/B, which is where the time went
+    # (measured 7.7 ms -> sub-ms at [4096 x 128], see scripts/profile_fused.py).
+    d = particles_ref.shape[-1]
     if always_resample:
-        pout_ref[:, :, :] = resampled
-        wout_ref[:, :] = uniform_ref[:, :]
+        do_rows = None
     else:
         do = ess < thr_ref[:, :]                      # [B, 1]
         do_rows = jnp.broadcast_to(do, (b, n))        # one axis at a time
-        d = particles_ref.shape[-1]
-        for k in range(d):
+        wout_ref[:, :] = jnp.where(do_rows, uniform_ref[:, :], w)
+    if always_resample:
+        wout_ref[:, :] = uniform_ref[:, :]
+    for k in range(d):
+        col = particles_ref[:, :, k]                  # [B, N] (ancestor axis)
+        col_b = jnp.broadcast_to(col[:, None, :], shape3)   # sublane bcast
+        resampled_k = jnp.sum(
+            jnp.where(m, col_b, jnp.zeros_like(col_b)), axis=2
+        )                                             # [B, N]
+        if always_resample:
+            pout_ref[:, :, k] = resampled_k
+        else:
             # Per-column 2-D selects: a [B,n,1]->[B,n,d] where would need a
             # dual-axis broadcast Mosaic can't lower.
-            pout_ref[:, :, k] = jnp.where(
-                do_rows, resampled[:, :, k], particles_ref[:, :, k]
-            )
-        wout_ref[:, :] = jnp.where(do_rows, uniform_ref[:, :], w)
+            pout_ref[:, :, k] = jnp.where(do_rows, resampled_k, col)
 
 
-# VMEM budget (bytes) for the in-kernel [B, N, N] selection matrix; sets
-# how many chains one grid program processes. The kernel holds ~4 copies
-# of the matrix live (mask, float cast, matmul operand/accumulator), so
-# this must stay well under the 16 MB VMEM limit / 4. NOTE: B > 1 made
-# Mosaic compile times explode in this environment (the batched
-# HIGHEST-precision dot_general appears to unroll per batch element) —
-# pinned to one chain per grid program until that is resolved; the
-# per-program kernel is already ~10x the portable path end-to-end.
-_SELECTION_VMEM_BUDGET = 1
+# VMEM budget (bytes) for one in-kernel [B, N, N] f32-sized intermediate;
+# sets how many chains one grid program processes. The kernel holds a few
+# such arrays live (selection mask, broadcast operand, product), so this
+# must stay well under the 16 MB VMEM limit divided by that count. The
+# masked-reduce gather batches cleanly (no per-batch-element unroll, unlike
+# the dot_general it replaced), so B > 1 is the fast path: per-grid-program
+# overhead was the dominant cost at [4096 chains x 128 particles].
+# (B=64 at N=128 overflowed the 16 MB scoped-vmem limit by 64 KB — the
+# mask, broadcast operand, and product each materialize one of these.)
+_SELECTION_VMEM_BUDGET = 2 * 1024 * 1024
 
 
 def _chains_per_program(c: int, n: int) -> int:
@@ -164,7 +174,7 @@ def _batched_call(lw, particles, pos, uniform, thr, always_resample, interpret):
         )
 
     kernel = functools.partial(_kernel, always_resample=always_resample)
-    space = pltpu.ANY if interpret else pltpu.VMEM
+    space = pl.ANY if interpret else pltpu.VMEM
 
     def spec(*dims):
         # Leading None = grid-mapped chain-block dim; the remaining dims
