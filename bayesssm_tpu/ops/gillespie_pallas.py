@@ -1,0 +1,183 @@
+"""Pallas TPU kernel for the exact Gillespie SIR day-step.
+
+The XLA while_loop version (models/sir.py::gillespie_step) pays, per loop
+iteration, an HBM round-trip of the whole carry (~16 MB at the benchmark's
+524k lanes), a global any() across ALL lanes, and an RngBitGenerator call —
+measured ~19 ms per 10-step particle-filter sweep at 4096 chains. This
+kernel keeps (S, I, t, active) resident in VMEM, draws uniforms from the
+per-core hardware PRNG (pltpu.prng_random_bits), and terminates per chain
+block: a block of B chains exits at ITS max event count instead of the
+global max, so the event-count tail is paid only by the block that has it.
+
+Sampling distribution is the exact jump process, identical to the XLA
+path: waiting times by inverse-CDF of Exp(rate_tot), event choice by a
+second uniform against rate_inf/rate_tot (reference semantics:
+/root/reference/vignettes/articles/stochastic-sir-model.Rmd:152-176).
+Bit-streams differ from the XLA path (hardware PRNG vs threefry) — parity
+is distributional, like everything RNG-bearing (SURVEY.md §7).
+
+Batching: custom_vmap lowers a vmapped call to ONE gridded kernel; the
+chain axis is blocked at ~64k lanes per grid program. Each block's PRNG is
+seeded from the first chain's key data mixed with the program id, so a
+fixed root key gives reproducible results for a fixed blocking.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["gillespie_step_pallas"]
+
+# Lanes (chains x particles) per grid program: VMEM holds ~12 live [B, N]
+# f32 arrays plus the (2*unroll, B, N) bits draw.
+_LANES_PER_PROGRAM = 64 * 1024
+# Hard cap on events per unit interval (same role as models/sir.py).
+MAX_EVENTS = 100_000
+
+
+def _kernel(seed_ref, s_ref, i_ref, lam_ref, gam_ref, sout_ref, iout_ref,
+            *, n_total: float, t_end: float, unroll: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    s = s_ref[:, :]
+    i = i_ref[:, :]
+    b, n = s.shape
+    lam = lam_ref[:, :]                               # [B, 1]
+    gam = gam_ref[:, :]
+    t = jnp.zeros_like(s)
+    active = i > 0.0
+    inv24 = jnp.float32(1.0 / (1 << 24))
+
+    def cond(carry):
+        _, _, _, active, steps = carry
+        return jnp.logical_and(jnp.any(active), steps < MAX_EVENTS)
+
+    def body(carry):
+        s, i, t, active, steps = carry
+        bits = pltpu.prng_random_bits((2 * unroll, b, n))
+        # Top 24 bits -> f32 uniforms in [0, 1) (exactly representable).
+        u = (bits >> jnp.uint32(8)).astype(jnp.float32) * inv24
+        for e in range(unroll):
+            rate_inf = (lam * (1.0 / n_total)) * s * i
+            rate_tot = rate_inf + gam * i
+            live = jnp.logical_and(active, rate_tot > 0.0)
+            safe = jnp.where(live, rate_tot, 1.0)
+            dt = -jnp.log1p(-u[2 * e]) / safe
+            t_new = t + dt
+            fire = jnp.logical_and(live, t_new <= t_end)
+            infect = u[2 * e + 1] < rate_inf / safe
+            s = jnp.where(jnp.logical_and(fire, infect), s - 1.0, s)
+            i = jnp.where(fire, jnp.where(infect, i + 1.0, i - 1.0), i)
+            t = jnp.where(live, t_new, t)
+            active = jnp.logical_and(fire, i > 0.0)
+        return s, i, t, active, steps + unroll
+
+    s, i, _, _, _ = jax.lax.while_loop(
+        cond, body, (s, i, t, active, jnp.zeros((), jnp.int32))
+    )
+    sout_ref[:, :] = s
+    iout_ref[:, :] = i
+
+
+def _batched_call(seeds, s, i, lam, gam, n_total, t_end, unroll, interpret):
+    """seeds [C, 2] int32; s/i [C, N] f32; lam/gam [C] f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c, n = s.shape
+    b = max(1, min(c, _LANES_PER_PROGRAM // max(n, 1)))
+    b = 1 << (b.bit_length() - 1)
+    g = -(-c // b)
+    pad = g * b - c
+    if pad:
+        def padc(x):
+            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+        seeds, s, i = padc(seeds), padc(s), padc(i)
+        # Padded chains must be inert: lam/gam 0 -> rate 0 -> never live.
+        lam, gam = padc(lam), padc(gam)
+
+    kernel = functools.partial(
+        _kernel, n_total=float(n_total), t_end=float(t_end),
+        unroll=int(unroll),
+    )
+    space = pl.ANY if interpret else pltpu.VMEM
+    smem = pl.ANY if interpret else pltpu.SMEM
+
+    def spec(*dims, ms=None):
+        return pl.BlockSpec(
+            (None,) + dims, lambda idx: (idx,) + (0,) * len(dims),
+            memory_space=ms or space,
+        )
+
+    sout, iout = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, b, n), s.dtype),
+            jax.ShapeDtypeStruct((g, b, n), s.dtype),
+        ),
+        in_specs=[
+            spec(2, ms=smem),                    # block seed (first chain)
+            spec(b, n), spec(b, n), spec(b, 1), spec(b, 1),
+        ],
+        out_specs=(spec(b, n), spec(b, n)),
+        interpret=interpret,
+    )(
+        seeds.reshape(g, b, 2)[:, 0, :],
+        s.reshape(g, b, n),
+        i.reshape(g, b, n),
+        lam.reshape(g, b, 1).astype(s.dtype),
+        gam.reshape(g, b, 1).astype(s.dtype),
+    )
+    return sout.reshape(g * b, n)[:c], iout.reshape(g * b, n)[:c]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_op(n_total: float, t_end: float, unroll: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def op(seeds, s, i, lam, gam):
+        sout, iout = _batched_call(
+            seeds[None], s[None], i[None], lam[None], gam[None],
+            n_total, t_end, unroll, interpret,
+        )
+        return sout[0], iout[0]
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, seeds, s, i, lam, gam):
+        def ensure(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape
+            )
+
+        args = [
+            ensure(x, bt)
+            for x, bt in zip((seeds, s, i, lam, gam), in_batched)
+        ]
+        out = _batched_call(*args, n_total, t_end, unroll, interpret)
+        return out, (True, True)
+
+    return op
+
+
+def gillespie_step_pallas(
+    key, state, lam, gamma, n_total, t_end=1.0, unroll: int = 4,
+    interpret: bool = False,
+):
+    """Exact SIR Gillespie unit-time advance, one chain (vmap-aware).
+
+    ``state``: f32 [n, 2] (S, I columns); ``lam``/``gamma``: scalars.
+    Drop-in distributional equivalent of models/sir.py::gillespie_step.
+    """
+    op = _make_op(float(n_total), float(t_end), int(unroll), bool(interpret))
+    kd = jnp.ravel(jax.random.key_data(key))[:2]
+    seeds = jax.lax.bitcast_convert_type(kd.astype(jnp.uint32), jnp.int32)
+    lam = jnp.asarray(lam, state.dtype).reshape(())
+    gam = jnp.asarray(gamma, state.dtype).reshape(())
+    s, i = op(seeds, state[:, 0], state[:, 1], lam, gam)
+    return jnp.stack([s, i], axis=-1)

@@ -52,14 +52,22 @@ def pallas_available() -> bool:
         return False
 
 
-def _kernel(lw_ref, particles_ref, pos_ref, uniform_ref, thr_ref,
-            pout_ref, wout_ref, ess_ref, lse_ref, always_resample: bool):
+def _kernel(lw_ref, pos_ref, uniform_ref, thr_ref, *rest,
+            always_resample: bool, d: int):
     """Blocked kernel: each grid program handles B chains at once.
 
-    Block shapes: lw/pos/uniform/wout [B, N]; particles/pout [B, N, d];
-    thr/ess/lse [B, 1].
+    Every ref is 2-D [B, N] (thr/ess/lse are [B, 1]): the d state columns
+    arrive as SEPARATE inputs rather than one [B, N, d] array, because a
+    trailing dim of 2-3 forces Mosaic's (8, 128) tiling to pad the minor
+    axis and XLA to insert relayout copies + pads at the kernel boundary
+    (measured ~23 ms/sweep at [4096 x 128 x 2], ~40% of the whole filter).
+    ``rest`` = d column inputs, then d column outputs, then wout/ess/lse.
     """
     from jax.experimental.pallas import tpu as pltpu
+
+    col_refs = rest[:d]
+    pout_refs = rest[d : 2 * d]
+    wout_ref, ess_ref, lse_ref = rest[2 * d :]
 
     lw = lw_ref[:, :]                      # [B, N]
     b, n = lw.shape
@@ -103,7 +111,7 @@ def _kernel(lw_ref, particles_ref, pos_ref, uniform_ref, thr_ref,
         m, jnp.logical_and(pos_b >= cdf_last, col_ids == n - 1)
     )
     # Gather-by-selection as a VPU masked reduce, one state column at a
-    # time: resampled[b, j, k] = sum_i m[b, j, i] * p[b, i, k]. Each row of
+    # time: resampled[b, j, k] = sum_i m[b, j, i] * p_k[b, i]. Each row of
     # ``m`` selects exactly one ancestor, so the sum has a single nonzero
     # term and is EXACT in f32 (no MXU precision caveats). Unlike the
     # earlier per-chain HIGHEST-precision dot_general (which Mosaic
@@ -111,27 +119,23 @@ def _kernel(lw_ref, particles_ref, pos_ref, uniform_ref, thr_ref,
     # batches over chains, letting one grid program process B chains —
     # grid count drops from C to C/B, which is where the time went
     # (measured 7.7 ms -> sub-ms at [4096 x 128], see scripts/profile_fused.py).
-    d = particles_ref.shape[-1]
     if always_resample:
         do_rows = None
+        wout_ref[:, :] = uniform_ref[:, :]
     else:
         do = ess < thr_ref[:, :]                      # [B, 1]
         do_rows = jnp.broadcast_to(do, (b, n))        # one axis at a time
         wout_ref[:, :] = jnp.where(do_rows, uniform_ref[:, :], w)
-    if always_resample:
-        wout_ref[:, :] = uniform_ref[:, :]
     for k in range(d):
-        col = particles_ref[:, :, k]                  # [B, N] (ancestor axis)
+        col = col_refs[k][:, :]                       # [B, N] (ancestor axis)
         col_b = jnp.broadcast_to(col[:, None, :], shape3)   # sublane bcast
         resampled_k = jnp.sum(
             jnp.where(m, col_b, jnp.zeros_like(col_b)), axis=2
         )                                             # [B, N]
         if always_resample:
-            pout_ref[:, :, k] = resampled_k
+            pout_refs[k][:, :] = resampled_k
         else:
-            # Per-column 2-D selects: a [B,n,1]->[B,n,d] where would need a
-            # dual-axis broadcast Mosaic can't lower.
-            pout_ref[:, :, k] = jnp.where(do_rows, resampled_k, col)
+            pout_refs[k][:, :] = jnp.where(do_rows, resampled_k, col)
 
 
 # VMEM budget (bytes) for one in-kernel [B, N, N] f32-sized intermediate;
@@ -153,27 +157,33 @@ def _chains_per_program(c: int, n: int) -> int:
 
 def _batched_call(lw, particles, pos, uniform, thr, always_resample, interpret):
     """Gridded kernel over chain blocks. Shapes: lw/pos/uniform [C, N],
-    particles [C, N, d], thr [C]. Returns (pout, wout, ess, lse)."""
+    particles [C, N, d], thr [C]. Returns (pout, wout, ess, lse).
+
+    The [C, N, d] particle array is split into d separate [C, N] columns at
+    the kernel boundary: every operand is then 2-D with N minor, matching
+    the TPU's (8, 128) tile exactly, so the (g, b, n) block reshape is a
+    free contiguous view and XLA inserts no relayout copies (a [C, N, 2]
+    operand cost ~23 ms/sweep in copies+pads at the benchmark shape).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     c, n = lw.shape
     d = particles.shape[-1]
     dtype = particles.dtype
+    cols = [particles[:, :, k] for k in range(d)]
 
     b = _chains_per_program(c, n)
     g = -(-c // b)
     pad = g * b - c
     if pad:
         def padc(x):
-            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, widths)
+            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
 
-        lw, particles, pos, uniform, thr = map(
-            padc, (lw, particles, pos, uniform, thr)
-        )
+        lw, pos, uniform, thr = map(padc, (lw, pos, uniform, thr))
+        cols = [padc(x) for x in cols]
 
-    kernel = functools.partial(_kernel, always_resample=always_resample)
+    kernel = functools.partial(_kernel, always_resample=always_resample, d=d)
     space = pl.ANY if interpret else pltpu.VMEM
 
     def spec(*dims):
@@ -185,28 +195,32 @@ def _batched_call(lw, particles, pos, uniform, thr, always_resample, interpret):
             memory_space=space,
         )
 
-    pout, wout, ess, lse = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(g,),
-        out_shape=(
-            jax.ShapeDtypeStruct((g, b, n, d), dtype),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((g, b, n), dtype) for _ in range(d)]
+        ) + (
             jax.ShapeDtypeStruct((g, b, n), dtype),
             jax.ShapeDtypeStruct((g, b, 1), dtype),
             jax.ShapeDtypeStruct((g, b, 1), dtype),
         ),
-        in_specs=[
-            spec(b, n), spec(b, n, d), spec(b, n), spec(b, n), spec(b, 1),
-        ],
-        out_specs=(spec(b, n, d), spec(b, n), spec(b, 1), spec(b, 1)),
+        in_specs=[spec(b, n), spec(b, n), spec(b, n), spec(b, 1)]
+        + [spec(b, n)] * d,
+        out_specs=tuple([spec(b, n)] * (d + 1)) + (spec(b, 1), spec(b, 1)),
         interpret=interpret,
     )(
         lw.astype(dtype).reshape(g, b, n),
-        particles.reshape(g, b, n, d),
         pos.astype(dtype).reshape(g, b, n),
         uniform.astype(dtype).reshape(g, b, n),
         thr.astype(dtype).reshape(g, b, 1),
+        *[x.reshape(g, b, n) for x in cols],
     )
-    pout = pout.reshape(g * b, n, d)[:c]
+    pcols = out[:d]
+    wout, ess, lse = out[d], out[d + 1], out[d + 2]
+    pout = jnp.stack(
+        [x.reshape(g * b, n)[:c] for x in pcols], axis=-1
+    )
     wout = wout.reshape(g * b, n)[:c]
     ess = ess.reshape(g * b)[:c]
     lse = lse.reshape(g * b)[:c]
