@@ -66,21 +66,25 @@ def gillespie_step(key, state, lam, gamma, n_total, t_end=1.0, unroll=4):
         key, s, i, t, active, steps = carry
         key, k_r = jax.random.split(key)
         # One fused draw per iteration: [2, unroll, ...] uniforms feed the
-        # waiting times (via inverse CDF) and the event choices.
+        # waiting times (via inverse CDF) and the event choices. The log1p
+        # for the whole unroll block runs as one vector pass, and the event
+        # choice compares r * rate_tot < rate_inf rather than dividing —
+        # one transcendental + one divide per event is all that remains.
         r = jax.random.uniform(k_r, (2, unroll) + s.shape)
+        neglog = -jnp.log1p(-r[0])
         for e in range(unroll):
             rate_inf = (lam / n_total) * s * i
-            rate_rem = gamma * i
-            rate_tot = rate_inf + rate_rem
-            live = jnp.logical_and(active, rate_tot > 0)
-            safe_rate = jnp.where(live, rate_tot, 1.0)
-            dt = -jnp.log1p(-r[0, e]) / safe_rate
-            t_new = t + dt
-            fire = jnp.logical_and(live, t_new <= t_end)
-            infect = r[1, e] < rate_inf / safe_rate
+            rate_tot = rate_inf + gamma * i
+            # rate_tot == 0 gives dt = +inf (neglog > 0 always), so the
+            # lane fails the horizon check and deactivates — no NaN and no
+            # guard select needed. Inactive lanes' t may run past t_end;
+            # only `active` gates every state update, so that is harmless.
+            dt = neglog[e] / rate_tot
+            t = t + dt
+            fire = jnp.logical_and(active, t <= t_end)
+            infect = r[1, e] * rate_tot < rate_inf
             s = jnp.where(fire & infect, s - 1.0, s)
             i = jnp.where(fire, jnp.where(infect, i + 1.0, i - 1.0), i)
-            t = jnp.where(live, t_new, t)
             active = fire & (i > 0)
         return key, s, i, t, active, steps + unroll
 

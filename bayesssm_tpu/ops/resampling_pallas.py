@@ -91,25 +91,20 @@ def _kernel(lw_ref, pos_ref, uniform_ref, thr_ref, *rest,
     cdf_prev = cdf - w
     pos = pos_ref[:, :]                               # [B, N]
     # Selection matrix per chain: output slot j takes the first ancestor i
-    # whose CDF segment contains pos_j; overflowing positions (float cumsum
-    # undershoot) clamp to the last lane, maskwise (no scatter in Mosaic).
-    # Broadcasts are materialized one axis at a time — Mosaic cannot
-    # broadcast sublanes and lanes in a single op.
+    # whose CDF segment contains pos_j. Extending the LAST lane's segment to
+    # [cdf_prev, +inf) (one O(BN) select) subsumes the overshoot clamp for
+    # positions past the float-cumsum total: every other segment tops out
+    # at cdf_{N-2} = the last segment's lower edge, so selection stays
+    # unique and matches the explicit max-compare clamp (up to the module
+    # docstring's CDF rounding-tie caveat) while saving four [B, N, N]
+    # passes. Broadcasts are materialized one axis at
+    # a time — Mosaic cannot broadcast sublanes and lanes in a single op.
+    cdf_ext = jnp.where(lane == n - 1, jnp.inf, cdf)
     shape3 = (b, n, n)
     pos_b = jnp.broadcast_to(pos[:, :, None], shape3)        # lanes
-    cdf_b = jnp.broadcast_to(cdf[:, None, :], shape3)        # sublanes
+    cdf_b = jnp.broadcast_to(cdf_ext[:, None, :], shape3)    # sublanes
     cdf_prev_b = jnp.broadcast_to(cdf_prev[:, None, :], shape3)
     m = jnp.logical_and(pos_b >= cdf_prev_b, pos_b < cdf_b)  # [B, N, N]
-    # cdf is non-decreasing, so its max is the final entry (avoids indexing
-    # primitives Mosaic can't lower).
-    cdf_max_row = jnp.broadcast_to(
-        jnp.max(cdf, axis=1, keepdims=True), (b, n)
-    )
-    cdf_last = jnp.broadcast_to(cdf_max_row[:, :, None], shape3)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, shape3, 2)
-    m = jnp.logical_or(
-        m, jnp.logical_and(pos_b >= cdf_last, col_ids == n - 1)
-    )
     # Gather-by-selection as a VPU masked reduce, one state column at a
     # time: resampled[b, j, k] = sum_i m[b, j, i] * p_k[b, i]. Each row of
     # ``m`` selects exactly one ancestor, so the sum has a single nonzero

@@ -11,7 +11,7 @@ sync between them:
                       (R/pmmh.R:345-389, R/pmmh_tuning.R), vmapped.
   host sync         — the tuned per-chain particle counts (Q9) are pulled to
                       the host; the static particle-lane bound for phase 2 is
-                      the max count rounded up to a multiple of 64 (masked
+                      the max count rounded up to a multiple of 128 (masked
                       lanes make each chain use exactly its own target_n).
   phase 2 (sampling)— the m-step MH loop (R/pmmh.R:422-500), vmapped.
 
