@@ -145,6 +145,11 @@ def particle_filter_core(
       threshold: SISAR ESS threshold (default num_particles / 2).
       return_particles: include particle/weight histories in the result.
       max_particles: static lane count when ``num_particles`` is traced.
+      carry_weights: textbook weight accumulation (see module docstring).
+      use_fused: fused Pallas weight+resample path. ``"auto"`` enables it on
+        TPU when the lane count is 128-aligned; ``True``/``False`` force it;
+        ``"interpret"`` forces it through the Pallas interpreter so the fused
+        branches (including APF's aux-column trick) run on CPU in CI.
     """
     if algorithm not in ALGORITHMS:
         raise ValueError(f"algorithm must be one of {ALGORITHMS}")
@@ -231,6 +236,7 @@ def particle_filter_core(
         pallas_available,
     )
 
+    fused_interpret = use_fused == "interpret"
     if use_fused == "auto":
         fused_enabled = (
             pallas_available()
@@ -308,6 +314,7 @@ def particle_filter_core(
                 p_ext, _, _, _ = fused_weight_resample(
                     safe_aux, p_ext, pos_aux, uniform_w,
                     jnp.asarray(0.0, dtype), always_resample=True,
+                    interpret=fused_interpret,
                 )
                 aux_anc = p_ext[:, -1]
                 particles = p_ext[:, 0] if one_dim_p else p_ext[:, :-1]
@@ -360,7 +367,7 @@ def particle_filter_core(
             thr_arg = thr if thr is not None else jnp.asarray(0.0, dtype)
             pout, weights, ess, lse = fused_weight_resample(
                 safe_comb, p2d, pos, uniform_w, thr_arg,
-                always_resample=always_resample,
+                always_resample=always_resample, interpret=fused_interpret,
             )
             particles = pout if particles.ndim == 2 else pout[:, 0]
             incr = lse if carry_weights else lse - jnp.log(n_f)
