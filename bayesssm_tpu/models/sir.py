@@ -127,6 +127,7 @@ def sir_model(
     init_infected: int = 70,
     transition: str = "gillespie",
     substeps: int = 10,
+    pallas_interpret: bool = False,
 ):
     """Return (model_fns, log_priors, param_transform) for the SIR model.
 
@@ -134,9 +135,19 @@ def sir_model(
     (stochastic-sir-model.Rmd:283-310): all particles start at the known
     initial state, the transition is one unit of exact Gillespie dynamics,
     and the likelihood is Poisson in the infectious count.
+
+    ``transition`` selects the day-step simulator:
+      * ``"gillespie"`` — exact jump process as a masked XLA ``while_loop``.
+      * ``"gillespie_pallas"`` — the same exact process as a VMEM-resident
+        Pallas kernel (ops/gillespie_pallas.py): per-block termination and
+        hardware PRNG make it the fast path on TPU. ``pallas_interpret``
+        routes it through the Pallas interpreter for CPU testing.
+      * ``"tauleap"`` — approximate binomial tau-leaping (fixed cost).
     """
-    if transition not in ("gillespie", "tauleap"):
-        raise ValueError("transition must be 'gillespie' or 'tauleap'")
+    if transition not in ("gillespie", "gillespie_pallas", "tauleap"):
+        raise ValueError(
+            "transition must be 'gillespie', 'gillespie_pallas' or 'tauleap'"
+        )
     s0 = float(n_total - init_infected)
     i0 = float(init_infected)
 
@@ -148,6 +159,14 @@ def sir_model(
     if transition == "gillespie":
         def transition_fn(key, particles, lam, gamma):
             return gillespie_step(key, particles, lam, gamma, float(n_total))
+    elif transition == "gillespie_pallas":
+        from bayesssm_tpu.ops.gillespie_pallas import gillespie_step_pallas
+
+        def transition_fn(key, particles, lam, gamma):
+            return gillespie_step_pallas(
+                key, particles, lam, gamma, float(n_total),
+                interpret=pallas_interpret,
+            )
     else:
         def transition_fn(key, particles, lam, gamma):
             return tau_leap_step(

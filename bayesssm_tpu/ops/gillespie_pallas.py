@@ -20,6 +20,14 @@ Batching: custom_vmap lowers a vmapped call to ONE gridded kernel; the
 chain axis is blocked at ~64k lanes per grid program. Each block's PRNG is
 seeded from the first chain's key data mixed with the program id, so a
 fixed root key gives reproducible results for a fixed blocking.
+
+Interpret mode (CPU CI): the Pallas interpreter has no hardware PRNG
+(``pltpu.prng_random_bits`` returns zeros), so ``interpret=True`` swaps the
+bits source for a counter-based lowbias32 hash stream seeded from the same
+(key, program id, lane) data. Every other kernel line — rate arithmetic,
+waiting times, event choice, termination, blocking, padding — is the code
+that runs on TPU, so distributional tests in interpret mode cover the
+kernel logic; only the bits instruction differs on hardware.
 """
 
 from __future__ import annotations
@@ -38,34 +46,88 @@ _LANES_PER_PROGRAM = 64 * 1024
 MAX_EVENTS = 100_000
 
 
+def _hash32(x):
+    """lowbias32 integer finalizer — a counter-based software PRNG step.
+
+    Used only when the kernel runs under the Pallas interpreter, where the
+    hardware PRNG (``pltpu.prng_random_bits``) is unavailable and returns
+    zeros; uint32 multiply wraps mod 2^32 in XLA, matching the hash's
+    definition.
+    """
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
 def _kernel(seed_ref, s_ref, i_ref, lam_ref, gam_ref, sout_ref, iout_ref,
-            *, n_total: float, t_end: float, unroll: int):
+            *, n_total: float, t_end: float, unroll: int,
+            software_prng: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
     s = s_ref[:, :]
     i = i_ref[:, :]
     b, n = s.shape
+    # The seed array rides along whole in SMEM (a [g, 2] block would break
+    # Mosaic's (8, 128)-divisibility rule); each program picks its row.
+    seed0 = seed_ref[pl.program_id(0), 0]
+    seed1 = seed_ref[pl.program_id(0), 1]
+    if software_prng:
+        # Counter-based stream: hash(seed-mix + lane id, draw index). Same
+        # role as the hardware PRNG (independent U[0,1) per lane per draw);
+        # bit-streams differ, parity is distributional either way.
+        pid = jax.lax.convert_element_type(pl.program_id(0), jnp.uint32)
+        s0 = jax.lax.convert_element_type(seed0, jnp.uint32)
+        s1 = jax.lax.convert_element_type(seed1, jnp.uint32)
+        base = _hash32(s0 ^ _hash32(s1 ^ _hash32(pid)))
+        row = jax.lax.broadcasted_iota(jnp.int32, (b, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+        lane_id = jax.lax.convert_element_type(row * n + col, jnp.uint32)
+        lane_mix = _hash32(base + lane_id * jnp.uint32(0x9E3779B9))
+    else:
+        # Mosaic caps prng_seed at 2 values, so the program id is mixed
+        # into the first seed word instead of passed as a third. Wrapping
+        # int32 multiply by an odd constant is a bijection in pid, so
+        # distinct programs always get distinct seed words (0x9E3779B9 as
+        # two's-complement int32; scalar bitcast/uint ops don't lower).
+        pid = pl.program_id(0)
+        s0_mix = seed0 ^ (pid * jnp.int32(-1640531527) + jnp.int32(1))
+        pltpu.prng_seed(s0_mix, seed1)
+        lane_mix = None
     lam = lam_ref[:, :]                               # [B, 1]
     gam = gam_ref[:, :]
     t = jnp.zeros_like(s)
-    active = i > 0.0
+    # The active mask is carried as f32 (1.0/0.0): Mosaic fails to legalize
+    # i1 vector carries in scf.while (scf.yield legalization error).
+    active = (i > 0.0).astype(s.dtype)
     inv24 = jnp.float32(1.0 / (1 << 24))
 
     def cond(carry):
         _, _, _, active, steps = carry
-        return jnp.logical_and(jnp.any(active), steps < MAX_EVENTS)
+        return jnp.logical_and(jnp.max(active) > 0.0, steps < MAX_EVENTS)
 
     def body(carry):
         s, i, t, active, steps = carry
-        bits = pltpu.prng_random_bits((2 * unroll, b, n))
+        if software_prng:
+            # Global draw index: each iteration advances steps by `unroll`
+            # and consumes 2*unroll draws, so 2*steps+k is unique per draw.
+            d0 = jax.lax.convert_element_type(2 * steps, jnp.uint32)
+            bits = jnp.stack([
+                _hash32(lane_mix ^ ((d0 + jnp.uint32(k))
+                                    * jnp.uint32(0x85EBCA6B)))
+                for k in range(2 * unroll)
+            ])
+        else:
+            bits = pltpu.prng_random_bits((2 * unroll, b, n))
         # Top 24 bits -> f32 uniforms in [0, 1) (exactly representable).
         u = (bits >> jnp.uint32(8)).astype(jnp.float32) * inv24
         for e in range(unroll):
             rate_inf = (lam * (1.0 / n_total)) * s * i
             rate_tot = rate_inf + gam * i
-            live = jnp.logical_and(active, rate_tot > 0.0)
+            live = jnp.logical_and(active > 0.0, rate_tot > 0.0)
             safe = jnp.where(live, rate_tot, 1.0)
             dt = -jnp.log1p(-u[2 * e]) / safe
             t_new = t + dt
@@ -74,7 +136,7 @@ def _kernel(seed_ref, s_ref, i_ref, lam_ref, gam_ref, sout_ref, iout_ref,
             s = jnp.where(jnp.logical_and(fire, infect), s - 1.0, s)
             i = jnp.where(fire, jnp.where(infect, i + 1.0, i - 1.0), i)
             t = jnp.where(live, t_new, t)
-            active = jnp.logical_and(fire, i > 0.0)
+            active = jnp.logical_and(fire, i > 0.0).astype(s.dtype)
         return s, i, t, active, steps + unroll
 
     s, i, _, _, _ = jax.lax.while_loop(
@@ -104,7 +166,7 @@ def _batched_call(seeds, s, i, lam, gam, n_total, t_end, unroll, interpret):
 
     kernel = functools.partial(
         _kernel, n_total=float(n_total), t_end=float(t_end),
-        unroll=int(unroll),
+        unroll=int(unroll), software_prng=bool(interpret),
     )
     space = pl.ANY if interpret else pltpu.VMEM
     smem = pl.ANY if interpret else pltpu.SMEM
@@ -115,6 +177,13 @@ def _batched_call(seeds, s, i, lam, gam, n_total, t_end, unroll, interpret):
             memory_space=ms or space,
         )
 
+    # Seeds go in whole ([g, 2] in SMEM; a grid-blocked (None, 2) spec
+    # violates Mosaic's (8, 128) block-divisibility rule) and each program
+    # indexes its own row with program_id.
+    seed_spec = pl.BlockSpec(
+        (g, 2), lambda idx: (0, 0), memory_space=smem
+    )
+
     sout, iout = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -123,7 +192,7 @@ def _batched_call(seeds, s, i, lam, gam, n_total, t_end, unroll, interpret):
             jax.ShapeDtypeStruct((g, b, n), s.dtype),
         ),
         in_specs=[
-            spec(2, ms=smem),                    # block seed (first chain)
+            seed_spec,                           # block seeds (first chains)
             spec(b, n), spec(b, n), spec(b, 1), spec(b, 1),
         ],
         out_specs=(spec(b, n), spec(b, n)),

@@ -24,7 +24,9 @@ import time
 import numpy as np
 
 
-def tpu_samples_per_sec(y, chains, particles, steps_per_call, timed_calls):
+def tpu_samples_per_sec(
+    y, chains, particles, steps_per_call, timed_calls, reps, transition,
+):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -34,7 +36,7 @@ def tpu_samples_per_sec(y, chains, particles, steps_per_call, timed_calls):
     from bayesssm_tpu.pmmh.priors import sum_log_priors
 
     (init_fn, transition_fn, loglik_fn), log_priors, _ = sir_model(
-        n_total=500, init_infected=70
+        n_total=500, init_infected=70, transition=transition
     )
     param_names = list(log_priors)
     prior_fns = [log_priors[p] for p in param_names]
@@ -85,13 +87,18 @@ def tpu_samples_per_sec(y, chains, particles, steps_per_call, timed_calls):
     # Warmup / compile.
     keys, thetas, lls = jax.block_until_ready(step(keys, thetas, ll0))
 
-    t0 = time.time()
-    for _ in range(timed_calls):
-        keys, thetas, lls = step(keys, thetas, lls)
-    jax.block_until_ready((keys, thetas, lls))
-    elapsed = time.time() - t0
-    total_samples = chains * steps_per_call * timed_calls
-    return total_samples / elapsed
+    # Median of `reps` timing repetitions: the remote-compile tunnel and
+    # the data-dependent Gillespie event counts make single runs noisy
+    # (round 1 saw 2x run-to-run spread), so the headline is a median.
+    rates = []
+    samples_per_rep = chains * steps_per_call * timed_calls
+    for _ in range(reps):
+        t0 = time.time()
+        for _ in range(timed_calls):
+            keys, thetas, lls = step(keys, thetas, lls)
+        jax.block_until_ready((keys, thetas, lls))
+        rates.append(samples_per_rep / (time.time() - t0))
+    return float(np.median(rates)), rates
 
 
 def baseline_samples_per_sec(y, particles, steps):
@@ -121,6 +128,12 @@ def main():
     ap.add_argument("--particles", type=int, default=128)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--calls", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument(
+        "--transition", default="gillespie_pallas",
+        choices=["gillespie", "gillespie_pallas", "tauleap"],
+        help="SIR day-step simulator (gillespie_pallas = fused TPU kernel)",
+    )
     ap.add_argument("--baseline-steps", type=int, default=6)
     ap.add_argument(
         "--profile", metavar="DIR", default=None,
@@ -131,6 +144,7 @@ def main():
     if args.quick:
         args.chains, args.steps, args.calls = 256, 2, 2
         args.baseline_steps = 2
+        args.reps = 2
 
     from bayesssm_tpu.models.sir import simulate_sir
 
@@ -148,11 +162,15 @@ def main():
         profile_ctx = contextlib.nullcontext()
 
     with profile_ctx:
-        value = tpu_samples_per_sec(
-            y, args.chains, args.particles, args.steps, args.calls
+        value, rates = tpu_samples_per_sec(
+            y, args.chains, args.particles, args.steps, args.calls,
+            args.reps, args.transition,
         )
     base = baseline_samples_per_sec(y, args.particles, args.baseline_steps)
 
+    print(
+        f"reps (samples/s): {[round(r) for r in rates]}", file=sys.stderr
+    )
     print(
         json.dumps(
             {
