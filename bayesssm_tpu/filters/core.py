@@ -52,7 +52,7 @@ from bayesssm_tpu.ops.weights import (
     effective_sample_size,
     normalize_log_weights,
 )
-from bayesssm_tpu.utils.signatures import adapt_fn
+from bayesssm_tpu.utils.signatures import adapt_fn, adapt_move_fn
 
 __all__ = ["particle_filter_core", "FilterResult"]
 
@@ -182,7 +182,10 @@ def particle_filter_core(
         if aux_weight_fn is not None
         else None
     )
-    move = adapt_fn(move_fn, "move_fn") if move_fn is not None else None
+    # Reference-style single-particle move functions (declaring `particle`)
+    # are auto-vmapped over the particle axis (R core calls them per
+    # particle, /root/reference/R/particle_filter_core.R:226-234).
+    move = adapt_move_fn(move_fn) if move_fn is not None else None
 
     ys = jnp.asarray(y)
     if ys.ndim == 1:

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import inspect
 
-__all__ = ["adapt_fn", "check_params_match", "fn_param_names"]
+__all__ = ["adapt_fn", "adapt_move_fn", "check_params_match", "fn_param_names"]
 
 # Engine-supplied argument names, never model parameters. Mirrors the drop
 # list in /root/reference/R/utils.R:60.
@@ -63,6 +63,37 @@ def adapt_fn(fn, fn_name: str, required: tuple = ()):
 
     adapted.__name__ = getattr(fn, "__name__", fn_name)
     return adapted
+
+
+def adapt_move_fn(move_fn):
+    """Adapt a RMPF rejuvenation move for the vectorized engine.
+
+    The reference calls ``move_fn(particle = particles[j, ], ...)`` once per
+    particle (/root/reference/R/particle_filter_core.R:226-234), so a
+    reference-style move function declares ``particle`` (singular). Such a
+    function is auto-vmapped here: each particle gets its own PRNG subkey
+    and the scalar/row view the reference would have passed. Functions
+    declaring ``particles`` (plural) — including R functions that relied on
+    partial argument matching, exercised at
+    /root/reference/tests/testthat/test-pmmh_tuning.R:121-123 — are treated
+    as natively vectorized and called once with the full array.
+    """
+    names, _ = fn_param_names(move_fn)
+    if "particle" not in names or "particles" in names:
+        return adapt_fn(move_fn, "move_fn")
+
+    import jax
+
+    base = adapt_fn(move_fn, "move_fn")
+
+    def vectorized(key, particles, **kwargs):
+        keys = jax.random.split(key, particles.shape[0])
+        return jax.vmap(
+            lambda k, p: base(key=k, particle=p, **kwargs)
+        )(keys, particles)
+
+    vectorized.__name__ = getattr(move_fn, "__name__", "move_fn")
+    return vectorized
 
 
 def check_params_match(

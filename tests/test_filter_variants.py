@@ -116,3 +116,85 @@ def test_apf_uses_lookahead_weights():
     )
     assert not np.allclose(np.asarray(apf.state_est), np.asarray(bpf.state_est))
     assert np.isfinite(float(apf.loglike))
+
+
+def single_particle_move_fn(key, particle, y, sigma):
+    """Reference-style per-particle move (R core calls move_fn(particle=...),
+    /root/reference/R/particle_filter_core.R:226-234); auto-vmapped by
+    utils/signatures.py::adapt_move_fn."""
+    k1, k2 = jax.random.split(key)
+    proposal = particle + 0.1 * jax.random.normal(k1, particle.shape)
+    log_alpha = loglik_fn(y, proposal, sigma) - loglik_fn(y, particle, sigma)
+    accept = jnp.log(jax.random.uniform(k2)) < log_alpha
+    return jnp.where(accept, proposal, particle)
+
+
+def test_single_particle_move_fn_runs_unchanged():
+    # A straight port of a reference-style move function (declaring
+    # `particle`, singular) must run without modification.
+    x, y = simulate_drift(3, sigma=0.05)
+    theta = {"mu": MU, "sigma": 0.05}
+    res = resample_move_filter(
+        jax.random.key(11), y, 24, init_fn, transition_fn, loglik_fn,
+        single_particle_move_fn, theta=theta, return_particles=False,
+    )
+    assert np.isfinite(float(res.loglike))
+    # The rejuvenated filter still tracks the drifting state.
+    rmse = np.sqrt(np.mean((np.asarray(res.state_est) - x) ** 2))
+    assert rmse < 0.5
+
+
+def test_single_particle_move_deterministic_matches_vectorized():
+    # With a deterministic move, the per-particle shim must produce exactly
+    # the vectorized result (key handling differs only for random moves).
+    _, y = simulate_drift(5)
+
+    def move_vec(particles, y, mu):
+        return particles + 0.0 * mu
+
+    def move_single(particle, y, mu):
+        return particle + 0.0 * mu
+
+    a = resample_move_filter(
+        jax.random.key(2), y, 16, init_fn, transition_fn, loglik_fn,
+        move_vec, theta=THETA, return_particles=True,
+    )
+    b = resample_move_filter(
+        jax.random.key(2), y, 16, init_fn, transition_fn, loglik_fn,
+        move_single, theta=THETA, return_particles=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.particles_history), np.asarray(b.particles_history)
+    )
+    np.testing.assert_array_equal(float(a.loglike), float(b.loglike))
+
+
+def test_single_particle_move_matrix_state():
+    # Matrix particles: the shim passes each ROW (the reference's
+    # particles[j, ]) to the user function.
+    _, y = simulate_drift(9)
+
+    def init2(key, num_particles):
+        return jax.random.normal(key, (num_particles, 2))
+
+    def trans2(key, particles, mu):
+        return particles + mu + jax.random.normal(key, particles.shape)
+
+    def loglik2(y, particles, sigma):
+        return -0.5 * (
+            jnp.log(2 * jnp.pi * sigma**2)
+            + ((y - particles[..., 0]) / sigma) ** 2
+        )
+
+    rows_seen = []
+
+    def move_single(key, particle, y):
+        rows_seen.append(particle.shape)
+        return particle + 0.01 * jax.random.normal(key, particle.shape)
+
+    res = resample_move_filter(
+        jax.random.key(4), y, 16, init2, trans2, loglik2, move_single,
+        theta=THETA,
+    )
+    assert np.isfinite(float(res.loglike))
+    assert all(s == (2,) for s in rows_seen)  # row view, not the matrix
