@@ -40,6 +40,27 @@ __all__ = [
 RESAMPLE_METHODS = ("stratified", "systematic", "multinomial")
 
 
+def _validate_weights_eager(weights) -> None:
+    """Reference weight-validation contract, enforced in eager mode.
+
+    The reference raises at both the C++ kernel and the R wrapper
+    (/root/reference/src/resampling.cpp:6-8,17-23,44-50 and
+    tests/testthat/test-resampling.R:2-28,71-134). Under a jit trace the
+    values are abstract and no check is possible (degenerate weights
+    propagate branchlessly instead — filters/core.py); eagerly, the same
+    messages are raised.
+    """
+    if isinstance(weights, jax.core.Tracer):
+        return
+    import numpy as np
+
+    w = np.asarray(weights)
+    if (w < 0).any():
+        raise ValueError("Weights must be non-negative")
+    if not (w.sum(axis=-1) > 0).all():
+        raise ValueError("Sum of weights must be greater than 0")
+
+
 def metropolis_resample_indices(
     key: jax.Array,
     weights: jnp.ndarray,
@@ -132,6 +153,8 @@ def resample_indices(
     Returns:
       ``[..., n]`` int32 ancestor indices in ``[0, num_alive)``.
     """
+    weights = jnp.asarray(weights)
+    _validate_weights_eager(weights)
     n = weights.shape[-1]
     batch_shape = weights.shape[:-1]
     dtype = weights.dtype

@@ -17,6 +17,7 @@ from bayesssm_tpu.ops import (
     resample_stratified,
     resample_systematic,
 )
+from bayesssm_tpu.ops.resampling import RESAMPLE_METHODS
 
 METHODS = ["multinomial", "stratified", "systematic"]
 
@@ -158,3 +159,53 @@ def test_metropolis_resampler_atom():
     w = jnp.array([0.0, 0.0, 1.0, 0.0])
     idx = metropolis_resample_indices(jax.random.key(0), w, num_steps=64)
     np.testing.assert_array_equal(np.asarray(idx), np.full(4, 2))
+
+
+class TestWeightValidationContract:
+    """Eager-mode weight validation mirroring the reference's error
+    contract at both kernel and wrapper level
+    (/root/reference/src/resampling.cpp:6-8,
+    tests/testthat/test-resampling.R:2-28,71-134). Under jit the values
+    are abstract and degenerate weights propagate branchlessly instead."""
+
+    WRAPPERS = (resample_multinomial, resample_stratified, resample_systematic)
+
+    @pytest.mark.parametrize("method", RESAMPLE_METHODS)
+    def test_negative_weights_kernel_level(self, method):
+        with pytest.raises(ValueError, match="Weights must be non-negative"):
+            resample_indices(
+                jax.random.key(0), jnp.array([-1.0, 1.0, 2.0]), method=method
+            )
+
+    @pytest.mark.parametrize("method", RESAMPLE_METHODS)
+    def test_zero_sum_kernel_level(self, method):
+        with pytest.raises(
+            ValueError, match="Sum of weights must be greater than 0"
+        ):
+            resample_indices(
+                jax.random.key(0), jnp.zeros(3), method=method
+            )
+
+    @pytest.mark.parametrize("wrapper", WRAPPERS)
+    def test_negative_weights_wrapper_level(self, wrapper):
+        particles = jnp.arange(3.0)
+        with pytest.raises(ValueError, match="Weights must be non-negative"):
+            wrapper(jax.random.key(0), particles, jnp.array([-0.1, 0.5, 0.4]))
+
+    @pytest.mark.parametrize("wrapper", WRAPPERS)
+    def test_zero_sum_wrapper_level(self, wrapper):
+        particles = jnp.arange(3.0)
+        with pytest.raises(
+            ValueError, match="Sum of weights must be greater than 0"
+        ):
+            wrapper(jax.random.key(0), particles, jnp.zeros(3))
+
+    def test_traced_weights_skip_validation(self):
+        # Inside jit the same degenerate weights must NOT raise: the filter
+        # handles degeneracy branchlessly (filters/core.py).
+        @jax.jit
+        def f(w):
+            return resample_indices(jax.random.key(0), w, method="systematic")
+
+        idx = f(jnp.zeros(4))
+        assert idx.shape == (4,)
