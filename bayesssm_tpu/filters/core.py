@@ -46,6 +46,8 @@ from bayesssm_tpu.ops.resampling import (
     RESAMPLE_METHODS,
     gather_particles,
     resample_indices,
+    sharded_gather,
+    sharded_resample_indices,
 )
 from bayesssm_tpu.ops.weights import (
     DEGENERATE_LOG_WEIGHT,
@@ -123,6 +125,8 @@ def particle_filter_core(
     max_particles: Optional[int] = None,
     carry_weights: bool = False,
     use_fused: str | bool = "auto",
+    particle_axis: Optional[str] = None,
+    particle_axis_size: int = 1,
 ):
     """Run one particle filter. See module docstring for semantics.
 
@@ -150,6 +154,22 @@ def particle_filter_core(
         TPU when the lane count is 128-aligned; ``True``/``False`` force it;
         ``"interpret"`` forces it through the Pallas interpreter so the fused
         branches (including APF's aux-column trick) run on CPU in CI.
+      particle_axis: optional mesh axis name the PARTICLE dimension is
+        sharded over. The core must then run inside ``shard_map``;
+        ``num_particles``/``max_particles`` stay GLOBAL counts while every
+        particle array carries the ``num_particles / particle_axis_size``
+        local slice. Weight normalization/ESS complete over ``pmax``/
+        ``psum`` and resampling goes through
+        ``ops.resampling.sharded_resample_indices`` (shard-identical
+        stratum draws + one ``all_gather``), so the likelihood estimator is
+        exactly the unsharded telescoping product. Model-randomness keys
+        are decorrelated per shard via ``fold_in(key, shard_index)``;
+        resampling keys stay shard-identical. This is ONE engine serving
+        both layouts — the former separate sharded filter
+        (parallel/sharded.py) now wraps this path.
+      particle_axis_size: static size of ``particle_axis`` (required when
+        ``particle_axis`` is set; mesh sizes are not recoverable statically
+        inside the trace).
     """
     if algorithm not in ALGORITHMS:
         raise ValueError(f"algorithm must be one of {ALGORITHMS}")
@@ -173,6 +193,16 @@ def particle_filter_core(
             raise ValueError("num_particles must be a positive integer")
         max_particles = int(num_particles)
     n_static = int(max_particles)
+
+    sharded = particle_axis is not None
+    if sharded:
+        if particle_axis_size < 1 or n_static % particle_axis_size:
+            raise ValueError(
+                "num_particles/max_particles must divide particle_axis_size"
+            )
+        n_loc = n_static // particle_axis_size
+    else:
+        n_loc = n_static
 
     init = adapt_fn(init_fn, "init_fn", required=("num_particles",))
     trans = adapt_fn(transition_fn, "transition_fn", required=("particles",))
@@ -201,25 +231,35 @@ def particle_filter_core(
     def canon(p, who):
         # Particles keep the user's native rank: [n] for 1-D state models,
         # [n, d] otherwise (the R core's vector/matrix duality,
-        # /root/reference/R/particle_filter_core.R:77-88).
+        # /root/reference/R/particle_filter_core.R:77-88). Under particle
+        # sharding each shard holds (and user fns see) the local slice.
         p = jnp.asarray(p)
         if p.ndim == 1:
-            if p.shape[0] != n_static:
+            if p.shape[0] != n_loc:
                 raise ValueError(f"{who} must return num_particles")
         elif p.ndim == 2:
-            if p.shape[0] != n_static:
+            if p.shape[0] != n_loc:
                 raise ValueError(f"{who} must return num_particles rows")
         else:
             raise ValueError(f"{who} must return a [n] or [n, d] array")
         return p
 
+    p_idx = lax.axis_index(particle_axis) if sharded else None
+
     key, k_init = jax.random.split(key)
-    particles0 = canon(init(key=k_init, num_particles=n_static, **theta), "init_fn")
+    if sharded:
+        # Decorrelate the model-simulation stream per shard; resampling
+        # keys (below) stay shard-identical on purpose.
+        k_init = jax.random.fold_in(k_init, p_idx)
+    particles0 = canon(init(key=k_init, num_particles=n_loc, **theta), "init_fn")
     one_dim = particles0.ndim == 1
     dtype = particles0.dtype
 
     n_f = jnp.asarray(num_particles, dtype=dtype)
-    lane = jnp.arange(n_static)
+    if sharded:
+        lane = p_idx * n_loc + jnp.arange(n_loc)   # global lane ids
+    else:
+        lane = jnp.arange(n_static)
     alive = lane < jnp.asarray(num_particles)
     neg_inf = jnp.asarray(-jnp.inf, dtype=dtype)
 
@@ -250,6 +290,10 @@ def particle_filter_core(
         )
     else:
         fused_enabled = bool(use_fused)
+    if sharded:
+        # The fused kernel is single-shard (its CDF/selection is local);
+        # the sharded weight step runs the collective portable path.
+        fused_enabled = False
     always_resample = algorithm == "RMPF" or resample_algorithm == "SISR"
 
     canon_in_scan = canon
@@ -269,6 +313,12 @@ def particle_filter_core(
         k_gap, k_aux, k_trans2, k_res, k_move = (
             step_keys[j] for j in range(5)
         )
+        if sharded:
+            # Model randomness is per-shard; k_aux/k_res (resampling
+            # positions) stay identical across shards.
+            k_gap = jax.random.fold_in(k_gap, p_idx)
+            k_trans2 = jax.random.fold_in(k_trans2, p_idx)
+            k_move = jax.random.fold_in(k_move, p_idx)
 
         # --- propagate through observation-time gaps (:122-137) ---
         if plain_gaps:
@@ -294,7 +344,7 @@ def particle_filter_core(
             aux_lw = jnp.asarray(
                 auxw(y=y_i, particles=particles, t=t_i, **theta)
             )
-            if aux_lw.shape[-1] != n_static:
+            if aux_lw.shape[-1] != n_loc:
                 raise ValueError("aux_weight_fn must return num_particles")
             aux_lw = jnp.where(alive, aux_lw, neg_inf)
             aux_base = aux_lw + lnw_prev if carry_weights else aux_lw
@@ -321,6 +371,15 @@ def particle_filter_core(
                 )
                 aux_anc = p_ext[:, -1]
                 particles = p_ext[:, 0] if one_dim_p else p_ext[:, :-1]
+            elif sharded:
+                aux_weights, _, _ = normalize_log_weights(
+                    aux_base, axis_name=particle_axis
+                )
+                ancestors = sharded_resample_indices(
+                    k_aux, aux_weights, resample_fn, particle_axis, n_f
+                )
+                particles = sharded_gather(particles, ancestors, particle_axis)
+                aux_anc = sharded_gather(aux_lw, ancestors, particle_axis)
             else:
                 aux_weights, _, _ = normalize_log_weights(aux_base)
                 ancestors = resample_indices(
@@ -334,17 +393,20 @@ def particle_filter_core(
                 "transition_fn",
             )
             lw = jnp.asarray(weight(y=y_i, particles=particles, t=t_i, **theta))
-            if lw.shape[-1] != n_static:
+            if lw.shape[-1] != n_loc:
                 raise ValueError("weight_fn must return num_particles")
             lw = lw - aux_anc
         else:
             lw = jnp.asarray(weight(y=y_i, particles=particles, t=t_i, **theta))
-            if lw.shape[-1] != n_static:
+            if lw.shape[-1] != n_loc:
                 raise ValueError("weight_fn must return num_particles")
         lw = jnp.where(alive, lw.astype(dtype), neg_inf)
 
         # --- degenerate-weight detection (:189-202) ---
-        dead = jnp.logical_or(dead, jnp.max(lw) < DEGENERATE_LOG_WEIGHT)
+        lw_max = jnp.max(lw)
+        if sharded:
+            lw_max = lax.pmax(lw_max, particle_axis)
+        dead = jnp.logical_or(dead, lw_max < DEGENERATE_LOG_WEIGHT)
 
         if carry_weights:
             # Textbook accumulation: incr = logsumexp(lnW_{t-1} + lw_t).
@@ -380,12 +442,14 @@ def particle_filter_core(
             else:
                 ess_rec = jnp.where(ess < thr, n_f, ess)
         else:
-            # --- portable path (:204-224) ---
-            weights, lse, mx = normalize_log_weights(combined)
+            # --- portable path (:204-224); collective when sharded ---
+            weights, lse, mx = normalize_log_weights(
+                combined, axis_name=particle_axis
+            )
             incr = (mx + lse) if carry_weights else (mx + lse - jnp.log(n_f))
             loglike = jnp.where(dead, neg_inf, loglike + incr)
 
-            ess = effective_sample_size(weights)
+            ess = effective_sample_size(weights, axis_name=particle_axis)
             if always_resample:
                 should = None  # statically always resample
             elif resample_algorithm == "SIS":
@@ -394,10 +458,16 @@ def particle_filter_core(
                 should = ess < thr
 
             if should is not False:
-                idx = resample_indices(
-                    k_res, weights, method=resample_fn, num_alive=n_f
-                )
-                resampled = gather_particles(particles, idx)
+                if sharded:
+                    idx = sharded_resample_indices(
+                        k_res, weights, resample_fn, particle_axis, n_f
+                    )
+                    resampled = sharded_gather(particles, idx, particle_axis)
+                else:
+                    idx = resample_indices(
+                        k_res, weights, method=resample_fn, num_alive=n_f
+                    )
+                    resampled = gather_particles(particles, idx)
                 if should is None:
                     particles = resampled
                     weights = uniform_w
@@ -425,6 +495,8 @@ def particle_filter_core(
         lnw_new = jnp.where(pos, jnp.log(jnp.where(pos, weights, 1.0)), neg_inf)
 
         state_est = jnp.einsum("n,n...->...", weights, particles)
+        if sharded:
+            state_est = lax.psum(state_est, particle_axis)
 
         out = (state_est, ess_rec, loglike)
         if return_particles:
@@ -453,6 +525,8 @@ def particle_filter_core(
 
     # t = 0 entries (:105-116): uniform weights, ESS = n, weighted-mean state.
     state0 = jnp.einsum("n,n...->...", uniform_w, particles0)
+    if sharded:
+        state0 = lax.psum(state0, particle_axis)
     state_est = jnp.concatenate([state0[None], state_seq], axis=0)
     ess_vec = jnp.concatenate([n_f[None], ess_seq], axis=0)
 

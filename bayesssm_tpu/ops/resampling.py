@@ -34,6 +34,8 @@ __all__ = [
     "resample_systematic",
     "metropolis_resample_indices",
     "gather_particles",
+    "sharded_resample_indices",
+    "sharded_gather",
     "RESAMPLE_METHODS",
 ]
 
@@ -183,6 +185,64 @@ def gather_particles(particles: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     if particles.ndim == idx.ndim:
         return jnp.take_along_axis(particles, idx, axis=-1)
     return jnp.take_along_axis(particles, idx[..., None], axis=-2)
+
+
+def sharded_resample_indices(
+    key: jax.Array,
+    weights_local: jnp.ndarray,
+    method: str,
+    axis_name: str,
+    num_alive: jnp.ndarray | float,
+) -> jnp.ndarray:
+    """Distributed inverse-CDF resampling over a sharded particle axis.
+
+    ``weights_local`` is this shard's ``[n_local]`` slice of GLOBALLY
+    normalized weights (see ``normalize_log_weights(axis_name=...)``).
+    Every shard draws the SAME stratum offsets from ``key`` (the caller
+    must pass a key that is identical across shards), reconstructs the
+    global CDF with one ``all_gather``, and answers only its own output
+    slots — so the joint ancestor distribution is exactly the unsharded
+    ``resample_indices`` contract (the reference's serial C++ walk,
+    /root/reference/src/resampling.cpp, made collective).
+
+    Returns this shard's ``[n_local]`` GLOBAL ancestor indices; pair with
+    ``sharded_gather`` to fetch the ancestors' rows.
+    """
+    from jax import lax
+
+    n_local = weights_local.shape[-1]
+    dtype = weights_local.dtype
+    w_all = lax.all_gather(weights_local, axis_name, axis=0, tiled=True)
+    n_global = w_all.shape[0]
+    num_alive = jnp.asarray(num_alive, dtype=dtype)
+    # Positions for ALL global slots (shard-identical RNG), then slice this
+    # shard's slots — reusing _positions keeps the masked-lane semantics
+    # (dead slots aim at the CDF end and clamp onto the last alive lane).
+    pos_full = _positions(key, method, (), n_global, num_alive, dtype)
+    p_idx = lax.axis_index(axis_name)
+    slots = p_idx * n_local + jnp.arange(n_local)
+    pos = jnp.take(pos_full, slots)
+    cdf = jnp.cumsum(w_all)
+    idx = jnp.searchsorted(cdf, pos, side="left")
+    last_alive = (num_alive - 1).astype(jnp.int32)
+    return jnp.clip(idx.astype(jnp.int32), 0, last_alive)
+
+
+def sharded_gather(
+    x_local: jnp.ndarray, idx_global: jnp.ndarray, axis_name: str
+) -> jnp.ndarray:
+    """Gather rows by GLOBAL ancestor index from a sharded array.
+
+    ``x_local``: ``[n_local]`` or ``[n_local, d]`` shard slice;
+    ``idx_global``: ``[n_local]`` global indices from
+    ``sharded_resample_indices``. One ``all_gather`` materializes the
+    global array (particle counts here are small relative to VMEM/HBM;
+    the win from sharding is the model's transition cost, not the gather).
+    """
+    from jax import lax
+
+    x_all = lax.all_gather(x_local, axis_name, axis=0, tiled=True)
+    return jnp.take(x_all, idx_global, axis=0)
 
 
 def _resample(method):
