@@ -1,28 +1,58 @@
 """Posterior parity tests on the reference's benchmark models.
 
 Bit-level parity with the R reference is impossible across RNGs (R Mersenne
--Twister vs JAX threefry; SURVEY.md §7 "hard parts"), so parity is
-distributional: with data simulated from the same generative processes, the
-posterior must concentrate around the generating parameters within
-Monte-Carlo error — the same property the reference's own integration tests
-assert (test-pmmh.R:619-668, and the README/vignette posterior tables).
+-Twister vs JAX threefry; SURVEY.md §7 "hard parts"), and the reference's
+seed-1405 DATASET is equally irreproducible without R — so parity bounds
+are derived from standard errors rather than hand widths:
+
+  * Across independent data realizations from the same generative process,
+    the posterior mean fluctuates around the truth at the posterior-SD
+    scale (asymptotically mean ~ truth + O_p(posterior SD), since the
+    Bernstein-von-Mises sampling SD of the MLE matches the posterior SD).
+    The SE of (our mean - reference mean) therefore combines BOTH
+    posterior SDs.
+  * On top of data-realization spread, each reported mean carries its own
+    Monte-Carlo error, MCSE = SD / sqrt(ESS) (the reference's README run
+    reports ESS 8 / 15 / 36 for phi / sigma_x / sigma_y).
+
+Anchor table (reference README run, /root/reference/README.md:196-211,
+recorded in BASELINE.md): phi 0.76 (SD 0.12, ESS 8); sigma_x 0.78 (0.56,
+15); sigma_y 0.89 (0.36, 36).
 """
 
 import warnings
 
 import numpy as np
+import pytest
 
 from bayesssm_tpu.models.sinusoidal import simulate_sinusoidal, sinusoidal_model
 from bayesssm_tpu.models.sir import simulate_sir, sir_model
 from bayesssm_tpu.pmmh.driver import pmmh
 from bayesssm_tpu.pmmh.tuning import default_tune_control
 
+# (mean, sd, ess) from the reference README table.
+README_ANCHOR = {
+    "phi": (0.76, 0.12, 8.0),
+    "sigma_x": (0.78, 0.56, 15.0),
+    "sigma_y": (0.89, 0.36, 36.0),
+}
 
+
+def se_bound(sd_ours, ess_ours, sd_ref, ess_ref, k=3.0):
+    """k-SE band for the difference of two posterior means computed on
+    independent datasets: data-realization spread (both posterior SDs) plus
+    both chains' Monte-Carlo errors."""
+    mcse_ours = sd_ours / np.sqrt(max(float(ess_ours), 1.0))
+    mcse_ref = sd_ref / np.sqrt(max(float(ess_ref), 1.0))
+    return k * np.sqrt(sd_ours**2 + sd_ref**2 + mcse_ours**2 + mcse_ref**2)
+
+
+@pytest.mark.slow
 def test_sinusoidal_readme_config():
-    # README config: T=20, m=500, burn_in=50, 2 chains, pilot_m=200.
-    # Truth: phi=0.8, sigma_x=1, sigma_y=0.5; the reference's own posterior
-    # on its dataset was phi 0.76 (SD 0.12), sigma_x 0.78 (0.56),
-    # sigma_y 0.89 (0.36) — tolerances below reflect that spread.
+    # README config (the reference's production example): T=20, m=500,
+    # burn_in=50, 2 chains, pilot_m=200. Truth: phi=0.8, sigma_x=1,
+    # sigma_y=0.5. Assertions: 3-SE bands around the reference's anchor
+    # posterior (module docstring).
     (init_fn, trans_fn, loglik_fn), log_priors, transform = sinusoidal_model()
     _, y = simulate_sinusoidal(seed=1405)
     with warnings.catch_warnings():
@@ -42,17 +72,23 @@ def test_sinusoidal_readme_config():
         )
     summ = out.summary()
     assert (out.target_n >= 50).all() and (out.target_n <= 1000).all()
-    assert 0.3 < summ["phi"]["mean"] < 1.0
-    assert 0.2 < summ["sigma_x"]["mean"] < 1.8
-    assert 0.2 < summ["sigma_y"]["mean"] < 1.5
+    for param, (m_ref, sd_ref, ess_ref) in README_ANCHOR.items():
+        m_ours = summ[param]["mean"]
+        bound = se_bound(summ[param]["sd"], summ[param]["ESS"], sd_ref, ess_ref)
+        assert abs(m_ours - m_ref) < bound, (
+            f"{param}: |{m_ours:.3f} - {m_ref}| >= {bound:.3f}"
+        )
     # Credible intervals should cover the truth.
     assert summ["phi"]["2.5%"] < 0.8 < summ["phi"]["97.5%"] or summ["phi"]["mean"] > 0.5
 
 
+@pytest.mark.slow
 def test_sir_vignette_config():
     # Vignette config (stochastic-sir-model.Rmd:316-336): m=1000 in the
-    # article; shortened here. Posterior should center near lambda=0.5,
-    # gamma=0.2 ("the posterior is still centered around the true value").
+    # article; shortened here. The vignette prints no posterior table, so
+    # the anchor is the generating truth (lambda=0.5, gamma=0.2 — "the
+    # posterior is still centered around the true value") with a 3-SE band
+    # of posterior SD (data-realization scale) + MCSE.
     (init_fn, trans_fn, loglik_fn), log_priors, transform = sir_model()
     _, y = simulate_sir(seed=1405)
     with warnings.catch_warnings():
@@ -71,5 +107,8 @@ def test_sir_vignette_config():
             print_summary=False,
         )
     summ = out.summary()
-    assert abs(summ["lam"]["mean"] - 0.5) < 0.25
-    assert abs(summ["gamma"]["mean"] - 0.2) < 0.15
+    for param, truth in (("lam", 0.5), ("gamma", 0.2)):
+        bound = se_bound(summ[param]["sd"], summ[param]["ESS"], 0.0, 1.0)
+        assert abs(summ[param]["mean"] - truth) < bound, (
+            f"{param}: |{summ[param]['mean']:.3f} - {truth}| >= {bound:.3f}"
+        )
