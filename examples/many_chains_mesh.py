@@ -7,6 +7,7 @@ the sampling hot loop); on CPU it runs on virtual devices via
 XLA_FLAGS=--xla_force_host_platform_device_count=8.
 
 Run: python examples/many_chains_mesh.py
+Scale-out guidance: docs/performance.md section 6; docs/guide.md section 5.
 """
 
 import jax

@@ -5,6 +5,7 @@ observations with phi=0.8, sigma_x=1, sigma_y=0.5, then recover the
 posterior with a bootstrap-filter PMMH (2 chains, pilot-tuned).
 
 Run: python examples/sinusoidal_readme.py
+API overview: docs/guide.md; filter variants: docs/filters.md.
 """
 
 from bayesssm_tpu.models.sinusoidal import simulate_sinusoidal, sinusoidal_model

@@ -6,6 +6,9 @@ with Poisson-observed infectious counts; the transition is an exact
 vectorized Gillespie simulation running on device.
 
 Run: python examples/stochastic_sir.py
+Narrative walkthrough with measured posteriors: docs/sir_walkthrough.md;
+simulator trade-offs (gillespie vs gillespie_pallas vs tauleap):
+docs/performance.md.
 """
 
 from bayesssm_tpu.models.sir import simulate_sir, sir_model
