@@ -15,8 +15,19 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import pathlib  # noqa: E402
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite compiles many near-identical
+# XLA programs (PMMH pipelines, shard_map filters); caching them on disk
+# cuts repeat-run wall time sharply and lets xdist workers share work
+# across runs. Safe to delete the directory at any time.
+_cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8

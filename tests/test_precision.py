@@ -43,15 +43,19 @@ _, y = simulate_lgss(1405, t_val=20)
 def init64(key, num_particles):
     return jax.random.normal(key, (num_particles,), dtype=jnp.float64)
 
-lls = []
-for s in range(16):
-    res = bootstrap_filter(
-        jax.random.key(s), y, 2048, init64, trans_fn, loglik_fn,
-        theta={"a": 0.9, "sigma_x": 0.6, "sigma_y": 0.4},
-        resample_algorithm="SISR", return_particles=False,
-    )
-    assert res.loglike.dtype == jnp.float64
-    lls.append(float(res.loglike))
+@jax.jit
+def batched(keys):
+    def one(k):
+        return bootstrap_filter(
+            k, y, 2048, init64, trans_fn, loglik_fn,
+            theta={"a": 0.9, "sigma_x": 0.6, "sigma_y": 0.4},
+            resample_algorithm="SISR", return_particles=False,
+        ).loglike
+    return jax.vmap(one)(keys)
+
+lls = batched(jax.vmap(jax.random.key)(jnp.arange(16)))
+assert lls.dtype == jnp.float64
+lls = np.asarray(lls)
 print(json.dumps({"mean": float(np.mean(lls)), "std": float(np.std(lls))}))
 """
 
@@ -70,14 +74,20 @@ def test_f32_matches_f64_crosscheck():
     f64 = json.loads(proc.stdout.strip().splitlines()[-1])
 
     _, y = simulate_lgss(1405, t_val=20)
-    lls = []
-    for s in range(16):
-        res = bootstrap_filter(
-            jax.random.key(100 + s), y, 2048, INIT_FN, TRANSITION_FN,
-            LOGLIK_FN, theta=THETA, resample_algorithm="SISR",
-            return_particles=False,
-        )
-        lls.append(float(res.loglike))
+
+    @jax.jit
+    def batched(keys):
+        def one(k):
+            return bootstrap_filter(
+                k, y, 2048, INIT_FN, TRANSITION_FN,
+                LOGLIK_FN, theta=THETA, resample_algorithm="SISR",
+                return_particles=False,
+            ).loglike
+        return jax.vmap(one)(keys)
+
+    lls = np.asarray(
+        batched(jax.random.split(jax.random.key(100), 16)), dtype=np.float64
+    )
     # Same estimator at different precisions: means agree within combined
     # MC error (std/sqrt(16) each, ~0.03 here).
     assert abs(np.mean(lls) - f64["mean"]) < 0.1

@@ -29,10 +29,20 @@ THETA8 = {
 }
 
 
+def theta_for(num_chains):
+    return {"a": jnp.full((num_chains,), A),
+            "sigma_x": jnp.full((num_chains,), SX),
+            "sigma_y": jnp.full((num_chains,), SY)}
+
+
 def run(mesh, key=0, num_chains=8, num_particles=256, **kw):
+    # Chains are independent replicate estimators: statistical tests below
+    # raise num_chains instead of looping root keys, so each configuration
+    # traces/compiles exactly ONE shard_map program (suite wall-time).
     return sharded_bootstrap_filter(
         jax.random.key(key), Y, num_particles, INIT_FN, TRANSITION_FN,
-        LOGLIK_FN, THETA8, num_chains=num_chains, mesh=mesh, **kw,
+        LOGLIK_FN, theta_for(num_chains), num_chains=num_chains, mesh=mesh,
+        **kw,
     )
 
 
@@ -45,16 +55,13 @@ def test_runs_and_shapes():
 
 
 def test_unbiased_vs_kalman_under_sharding():
-    # SISR (always resample): unbiased estimator; mean over chains+keys
-    # must hit the exact Kalman log-likelihood.
+    # SISR (always resample): unbiased estimator; mean over 48 independent
+    # chains must hit the exact Kalman log-likelihood.
     truth = kalman_loglik(Y, A, C, SX, SY)
     mesh = make_chain_mesh(8, particle_axis_size=4)
-    lls = []
-    for key in range(6):
-        ll, _ = run(mesh, key=key, num_particles=1024,
-                    resample_algorithm="SISR")
-        lls.append(np.asarray(ll, dtype=np.float64))
-    lls = np.concatenate(lls)
+    ll, _ = run(mesh, num_chains=48, num_particles=1024,
+                resample_algorithm="SISR")
+    lls = np.asarray(ll, dtype=np.float64)
     assert abs(lls.mean() - truth) < 0.2
     assert lls.std() < 1.0
 
@@ -80,12 +87,9 @@ def test_placement_independent_rng():
 def test_resamplers_all_unbiased(method):
     truth = kalman_loglik(Y, A, C, SX, SY)
     mesh = make_chain_mesh(8, particle_axis_size=2)
-    lls = []
-    for key in range(4):
-        ll, _ = run(mesh, key=key, num_particles=512,
-                    resample_algorithm="SISR", resample_fn=method)
-        lls.append(np.asarray(ll, dtype=np.float64))
-    lls = np.concatenate(lls)
+    ll, _ = run(mesh, num_chains=32, num_particles=512,
+                resample_algorithm="SISR", resample_fn=method)
+    lls = np.asarray(ll, dtype=np.float64)
     assert abs(lls.mean() - truth) < 0.35
 
 
@@ -134,29 +138,31 @@ SY_AUX = np.sqrt(SX**2 + SY**2)
 def test_sharded_apf_matches_unsharded_distribution():
     # The sharded APF path (collective aux normalize + distributed aux
     # resample + Q2 double transition) must estimate the same quantity as
-    # the unsharded APF: means over independent keys agree within MC error.
+    # the unsharded APF: means over independent chains agree within MC
+    # error. One sharded call (32 chains) and one vmapped unsharded call.
     mesh = make_chain_mesh(8, particle_axis_size=4)
-    ll_sharded = []
-    for key in range(4):
-        ll, _ = sharded_particle_filter(
-            jax.random.key(key), Y, 512, INIT_FN, TRANSITION_FN, LOGLIK_FN,
-            THETA8, num_chains=8, mesh=mesh, algorithm="APF",
-            aux_log_likelihood_fn=aux_loglik_fn, resample_algorithm="SISR",
-        )
-        ll_sharded.append(np.asarray(ll, dtype=np.float64))
-    ll_sharded = np.concatenate(ll_sharded)
+    ll, _ = sharded_particle_filter(
+        jax.random.key(0), Y, 512, INIT_FN, TRANSITION_FN, LOGLIK_FN,
+        theta_for(32), num_chains=32, mesh=mesh, algorithm="APF",
+        aux_log_likelihood_fn=aux_loglik_fn, resample_algorithm="SISR",
+    )
+    ll_sharded = np.asarray(ll, dtype=np.float64)
 
     theta1 = {"a": A, "sigma_x": SX, "sigma_y": SY}
-    ll_plain = np.asarray([
-        float(
-            auxiliary_filter(
-                jax.random.key(100 + k), Y, 512, INIT_FN, TRANSITION_FN,
+
+    @jax.jit
+    def plain(keys):
+        def one(k):
+            return auxiliary_filter(
+                k, Y, 512, INIT_FN, TRANSITION_FN,
                 LOGLIK_FN, aux_loglik_fn, theta=theta1,
                 resample_algorithm="SISR", return_particles=False,
             ).loglike
-        )
-        for k in range(16)
-    ], dtype=np.float64)
+        return jax.vmap(one)(keys)
+
+    ll_plain = np.asarray(
+        plain(jax.random.split(jax.random.key(100), 16)), dtype=np.float64
+    )
     se = np.sqrt(
         ll_sharded.var() / len(ll_sharded) + ll_plain.var() / len(ll_plain)
     )
@@ -217,15 +223,12 @@ def test_sharded_obs_times_gaps():
         var = (1 - k_gain * C_OBS) * var
 
     mesh = make_chain_mesh(8, particle_axis_size=4)
-    lls = []
-    for key in range(4):
-        ll, _ = sharded_particle_filter(
-            jax.random.key(key), ys_obs, 512, INIT_FN, TRANSITION_FN,
-            LOGLIK_FN, THETA8, num_chains=8, mesh=mesh,
-            obs_times=obs_times, resample_algorithm="SISR",
-        )
-        lls.append(np.asarray(ll, dtype=np.float64))
-    lls = np.concatenate(lls)
+    ll, _ = sharded_particle_filter(
+        jax.random.key(0), ys_obs, 512, INIT_FN, TRANSITION_FN,
+        LOGLIK_FN, theta_for(32), num_chains=32, mesh=mesh,
+        obs_times=obs_times, resample_algorithm="SISR",
+    )
+    lls = np.asarray(ll, dtype=np.float64)
     assert abs(lls.mean() - truth) < 0.3
 
 

@@ -50,22 +50,28 @@ def test_devices_available():
     assert jax.devices()[0].platform == "cpu"
 
 
-def test_fixed_layout_bit_exact():
-    mesh = make_chain_mesh(8)
-    o1 = run(mesh=mesh)
-    o2 = run(mesh=mesh)
+@pytest.fixture(scope="module")
+def m8_result():
+    # Shared across the bit-exactness and layout-invariance tests (one
+    # fewer full PMMH pipeline compile per suite run).
+    return run(mesh=make_chain_mesh(8))
+
+
+def test_fixed_layout_bit_exact(m8_result):
+    o1 = m8_result
+    o2 = run(mesh=make_chain_mesh(8))
     for p in o1.theta_chain:
         np.testing.assert_array_equal(o1.theta_chain[p], o2.theta_chain[p])
     np.testing.assert_array_equal(o1.target_n, o2.target_n)
 
 
-def test_mesh_layout_statistical_invariance():
+def test_mesh_layout_statistical_invariance(m8_result):
     # No mesh vs 8-way chain sharding vs 4x2 chains-by-particles mesh: the
     # deterministic tuning outputs agree exactly and the posteriors agree
     # within MC noise (ULP-level compilation differences may flip
     # individual MH decisions, so bit-equality of chains is not required).
     base = run(mesh=None)
-    m8 = run(mesh=make_chain_mesh(8))
+    m8 = m8_result
     m42 = run(mesh=make_chain_mesh(8, particle_axis_size=2))
     np.testing.assert_array_equal(base.target_n, m8.target_n)
     np.testing.assert_array_equal(base.target_n, m42.target_n)
