@@ -120,10 +120,17 @@ def _kernel(seed_ref, s_ref, i_ref, lam_ref, gam_ref, sout_ref, iout_ref,
                                     * jnp.uint32(0x85EBCA6B)))
                 for k in range(2 * unroll)
             ])
+            u24 = (bits >> jnp.uint32(8)).astype(jnp.int32)
         else:
-            bits = pltpu.prng_random_bits((2 * unroll, b, n))
+            # prng_random_bits returns SIGNED int32 on TPU Mosaic; the
+            # arithmetic >> sign-extends, so mask back to the low 24 bits
+            # after shifting (without the mask, half the "uniforms" came
+            # out negative on hardware: epidemics collapsed, S went
+            # negative). Mosaic cannot cast uint32->f32, hence int32 ops.
+            raw = pltpu.prng_random_bits((2 * unroll, b, n))
+            u24 = (raw >> 8) & jnp.int32(0x00FFFFFF)
         # Top 24 bits -> f32 uniforms in [0, 1) (exactly representable).
-        u = (bits >> jnp.uint32(8)).astype(jnp.float32) * inv24
+        u = u24.astype(jnp.float32) * inv24
         for e in range(unroll):
             rate_inf = (lam * (1.0 / n_total)) * s * i
             rate_tot = rate_inf + gam * i

@@ -84,11 +84,15 @@ def tpu_samples_per_sec(
     )
     step = jax.jit(k_steps)
 
-    # Warmup / compile.
-    keys, thetas, lls = jax.block_until_ready(step(keys, thetas, ll0))
+    # Warmup / compile. NOTE: through the axon tunnel block_until_ready
+    # does not reliably block, so completion is forced by a host read of a
+    # result scalar (device->host round-trip bounds the whole dependency
+    # chain; each step consumes the previous step's outputs).
+    keys, thetas, lls = step(keys, thetas, ll0)
+    float(jnp.sum(lls))
 
-    # Median of `reps` timing repetitions: the remote-compile tunnel and
-    # the data-dependent Gillespie event counts make single runs noisy
+    # Median of `reps` timing repetitions: the remote tunnel and the
+    # data-dependent Gillespie event counts make single runs noisy
     # (round 1 saw 2x run-to-run spread), so the headline is a median.
     rates = []
     samples_per_rep = chains * steps_per_call * timed_calls
@@ -96,7 +100,7 @@ def tpu_samples_per_sec(
         t0 = time.time()
         for _ in range(timed_calls):
             keys, thetas, lls = step(keys, thetas, lls)
-        jax.block_until_ready((keys, thetas, lls))
+        float(jnp.sum(lls))  # forced completion (see warmup note)
         rates.append(samples_per_rep / (time.time() - t0))
     return float(np.median(rates)), rates
 
