@@ -130,8 +130,12 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--chains", type=int, default=4096)
     ap.add_argument("--particles", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=4)
-    ap.add_argument("--calls", type=int, default=3)
+    # 16 MH steps per jitted call: amortizes the ~24 ms per-call tunnel
+    # dispatch overhead, matching how production runs execute (the pmmh
+    # driver scans hundreds of steps per chunk). Throughput saturates at
+    # this point (steps=32 measured the same within noise).
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--calls", type=int, default=2)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument(
         "--transition", default="gillespie_pallas",
