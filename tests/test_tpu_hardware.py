@@ -1,0 +1,106 @@
+"""Hardware-only kernel contracts (skipped on CPU CI).
+
+These tests run only when a real TPU backend is attached (`jax.devices()`
+platform "tpu"/"axon"). They exist because the Pallas interpreter cannot
+emulate two hardware behaviors that have already bitten once:
+
+  * ``pltpu.prng_random_bits`` returns SIGNED int32 on TPU Mosaic — a
+    sign-extending shift produced negative "uniforms" and silently garbage
+    epidemic dynamics while every interpret-mode test stayed green (fixed
+    in ops/gillespie_pallas.py; this file is the regression net).
+  * the fused weight/resample kernel's Mosaic lowering (tiling, roll-based
+    cumsum, masked-reduce gather) differs from the interpreter path.
+
+Run manually on the TPU box:
+``BAYESSSM_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py``
+(without the env var conftest.py pins the suite to CPU and these skip;
+with it, ONLY run this file — the rest of the suite assumes the 8-device
+CPU mesh).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesssm_tpu.ops.resampling_pallas import pallas_available
+
+pytestmark = pytest.mark.skipif(
+    not pallas_available(),
+    reason="requires a real TPU backend (conftest pins CI to CPU)",
+)
+
+
+def test_gillespie_hardware_prng_moments():
+    # The hardware-PRNG path must match the XLA exact simulator's moments.
+    # Regression: signed prng_random_bits made S go NEGATIVE on hardware.
+    from bayesssm_tpu.models.sir import gillespie_step
+    from bayesssm_tpu.ops.gillespie_pallas import gillespie_step_pallas
+
+    state = jnp.tile(jnp.array([430.0, 70.0], jnp.float32), (8192, 1))
+    out_p = np.asarray(
+        gillespie_step_pallas(jax.random.key(0), state, 0.5, 0.2, 500.0)
+    )
+    out_x = np.asarray(
+        gillespie_step(jax.random.key(1), state, 0.5, 0.2, 500.0)
+    )
+    assert (out_p >= 0).all()
+    n = out_p.shape[0]
+    for col in (0, 1):
+        se = np.sqrt(out_p[:, col].var() / n + out_x[:, col].var() / n)
+        assert abs(out_p[:, col].mean() - out_x[:, col].mean()) < 5 * se
+        assert out_p[:, col].std() == pytest.approx(
+            out_x[:, col].std(), rel=0.2
+        )
+
+
+def test_fused_filter_matches_portable_on_device():
+    from bayesssm_tpu.filters.core import particle_filter_core
+
+    A, C, SX, SY = 0.9, 1.0, 0.6, 0.4
+
+    def init(key, num_particles):
+        return jax.random.normal(key, (num_particles,))
+
+    def trans(key, particles, t):
+        return A * particles + SX * jax.random.normal(key, particles.shape)
+
+    def ll(y, particles, t):
+        return -0.5 * (jnp.log(2 * jnp.pi * SY**2)
+                       + ((y - C * particles) / SY) ** 2)
+
+    def move(key, particles, y, t):
+        prop = particles + 0.3 * jax.random.normal(key, particles.shape)
+        acc = jnp.log(jax.random.uniform(key, particles.shape)) < (
+            ll(y, prop, t) - ll(y, particles, t)
+        )
+        return jnp.where(acc, prop, particles)
+
+    rng = np.random.default_rng(1405)
+    x = rng.normal()
+    ys = []
+    for _ in range(12):
+        x = A * x + SX * rng.normal()
+        ys.append(C * x + SY * rng.normal())
+    ys = np.asarray(ys, np.float32)
+
+    kw = dict(init_fn=init, transition_fn=trans, weight_fn=ll)
+    for extra in (
+        {},
+        dict(algorithm="APF", aux_weight_fn=ll),
+        dict(algorithm="RMPF", move_fn=move, resample_algorithm="SISR"),
+    ):
+        key = jax.random.key(7)
+        f = particle_filter_core(
+            key, ys, 128, use_fused=True, return_particles=False, **kw, **extra
+        )
+        p = particle_filter_core(
+            key, ys, 128, use_fused=False, return_particles=False, **kw, **extra
+        )
+        np.testing.assert_allclose(
+            float(f.loglike), float(p.loglike), rtol=2e-5, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(f.state_est), np.asarray(p.state_est),
+            rtol=1e-4, atol=5e-4,
+        )
