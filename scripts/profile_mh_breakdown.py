@@ -32,12 +32,22 @@ param_names = list(log_priors)
 prior_fns = [log_priors[p] for p in param_names]
 
 
+def _force(out):
+    # block_until_ready does not reliably block through the axon tunnel;
+    # a device->host read of a dependent scalar bounds completion.
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if jnp.issubdtype(x.dtype, jnp.floating)]
+    return float(jnp.sum(leaves[-1]))
+
+
 def timeit(name, fn, *args, reps=5):
-    out = jax.block_until_ready(fn(*args))
+    out = fn(*args)
+    _force(out)
     ts = []
     for _ in range(reps):
         t0 = time.time()
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+        _force(out)
         ts.append((time.time() - t0) * 1000)
     ts.sort()
     print(f"{name}: median {ts[len(ts)//2]:.2f} ms  (min {ts[0]:.2f})")
