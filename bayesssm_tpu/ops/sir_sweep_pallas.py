@@ -1,0 +1,453 @@
+"""Fully fused Pallas TPU kernel: the whole SIR bootstrap-filter sweep.
+
+Round-2 profiling (scripts/profile_amortized.py) attributed the 14 ms PMMH
+MH step at [4096 chains x 128 particles x T=10] as ~2.5 ms Gillespie
+kernels + ~7.3 ms fused weight+resample kernels + ~3.7 ms XLA glue
+(per-day [C, N, 2] stack/unstack relayouts, threefry stratum positions,
+scan plumbing). This kernel removes the glue and the per-day kernel
+boundaries entirely: ONE ``pallas_call`` runs the full T-observation
+bootstrap filter for a block of chains with the particle state resident in
+VMEM throughout —
+
+    for t in 1..T:   (python-unrolled; T is static)
+      exact Gillespie day step   (hardware-PRNG while_loop, as in
+                                  ops/gillespie_pallas.py)
+      Poisson log-weights        (lgamma(y+1) precomputed on host)
+      max-shift normalize + ESS + likelihood increment
+      stratum positions          (drawn from the SAME in-kernel PRNG)
+      Hillis-Steele CDF + selection-matrix resample
+
+with the (S, I) pair packed into ONE f32 lane (``v = S*4096 + I``, exact
+for populations <= 4094 because both counts are integers < 2^12 and the
+unpack divides by a power of two) so the O(N^2) masked-reduce gather runs
+once instead of once per state column.
+
+Semantics are the reference BPF with fresh-weight SISAR/SISR
+(/root/reference/R/particle_filter_core.R:123-246, quirks Q4/Q5 as in
+filters/core.py's default ``carry_weights=False``), including masked lanes
+(per-chain traced ``num_particles``, SURVEY.md Q9) and the degenerate
+-inf contract (all log-weights < -1e8 => loglike -inf, zeroed estimates).
+Returned per chain: ``(loglike, state_est [T+1, 2])`` — exactly what the
+PMMH hot loop consumes.
+
+Batching/PRNG/interpret rules follow ops/gillespie_pallas.py: a
+``custom_vmap`` lowers the chain axis to one gridded kernel; each block is
+seeded from its first chain's key data mixed with the program id (bit-
+reproducible for a fixed (key, blocking)); interpret mode swaps the
+hardware PRNG for the counter-based lowbias32 stream so CPU CI executes
+every other kernel line.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bayesssm_tpu.ops.gillespie_pallas import MAX_EVENTS, _hash32
+
+__all__ = ["sir_bpf_sweep"]
+
+# Chains per grid program: bounded by the [B, N, N] selection-matrix
+# intermediates in VMEM (same budget logic as ops/resampling_pallas.py).
+_SELECTION_VMEM_BUDGET = 2 * 1024 * 1024
+# S/I packing base: both counts are integers <= n_total <= _PACK - 2, so
+# v = S*_PACK + I < 2^24 is exact in f32 and v/_PACK is an exact exponent
+# shift (power of two), making floor-unpack exact.
+_PACK = 4096.0
+# Profiling hook (scripts/profile_sweep.py): phases to stub out when
+# attributing in-kernel cost. Never set outside profiling runs.
+_DEBUG_SKIP: tuple = ()
+
+
+def _chains_per_program(c: int, n: int) -> int:
+    b = max(1, min(c, _SELECTION_VMEM_BUDGET // (n * n * 4) or 1))
+    return 1 << (b.bit_length() - 1)
+
+
+def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
+                 method: str, always_resample: bool, software_prng: bool):
+    """Return the kernel body closure with the particle width ``n`` static."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import numpy as np
+
+    # Plain numpy scalars: jnp constants created outside the kernel body
+    # would be captured as pallas_call "constants" and rejected.
+    inv24 = np.float32(1.0 / (1 << 24))
+    neg = np.float32(-1e30)
+    degenerate = np.float32(-1e8)
+
+    def kernel(seed_ref, y_ref, lgy_ref, lam_ref, gam_ref, alive_ref,
+               thr_ref, s0_ref, i0_ref, ll_ref, ses_ref, sei_ref):
+        lam = lam_ref[:, :]                               # [B, 1]
+        gam = gam_ref[:, :]
+        alive_ct = alive_ref[:, :]                        # [B, 1] f32
+        thr = thr_ref[:, :]
+        b = lam.shape[0]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+        lane_f = lane.astype(jnp.float32)
+        alive_mask = lane_f < alive_ct                    # [B, N]
+
+        seed0 = seed_ref[pl.program_id(0), 0]
+        seed1 = seed_ref[pl.program_id(0), 1]
+        if software_prng:
+            pid = jax.lax.convert_element_type(pl.program_id(0), jnp.uint32)
+            s0w = jax.lax.convert_element_type(seed0, jnp.uint32)
+            s1w = jax.lax.convert_element_type(seed1, jnp.uint32)
+            base = _hash32(s0w ^ _hash32(s1w ^ _hash32(pid)))
+            row = jax.lax.broadcasted_iota(jnp.int32, (b, n), 0)
+            lane_id = jax.lax.convert_element_type(
+                row * n + lane, jnp.uint32
+            )
+            lane_mix = _hash32(base + lane_id * jnp.uint32(0x9E3779B9))
+        else:
+            # Program id mixed into the first seed word (Mosaic caps
+            # prng_seed at 2 values); odd-constant wrapping multiply is a
+            # bijection so programs get distinct streams — exactly the
+            # ops/gillespie_pallas.py convention.
+            pid = pl.program_id(0)
+            s0_mix = seed0 ^ (pid * jnp.int32(-1640531527) + jnp.int32(1))
+            pltpu.prng_seed(s0_mix, seed1)
+            lane_mix = None
+
+        def draw(nblk, ctr):
+            """nblk [B, N] uniform f32 blocks in [0, 1); advances ctr."""
+            if software_prng:
+                d0 = jax.lax.convert_element_type(ctr, jnp.uint32)
+                bits = jnp.stack([
+                    _hash32(lane_mix ^ ((d0 + jnp.uint32(k))
+                                        * jnp.uint32(0x85EBCA6B)))
+                    for k in range(nblk)
+                ])
+                u24 = (bits >> jnp.uint32(8)).astype(jnp.int32)
+            else:
+                raw = pltpu.prng_random_bits((nblk, b, n))
+                # SIGNED int32 on TPU Mosaic: mask after the arithmetic
+                # shift (see ops/gillespie_pallas.py).
+                u24 = (raw >> 8) & jnp.int32(0x00FFFFFF)
+            return u24.astype(jnp.float32) * inv24, ctr + jnp.int32(nblk)
+
+        s = jnp.broadcast_to(s0_ref[:, :], (b, n))
+        i = jnp.broadcast_to(i0_ref[:, :], (b, n))
+        loglike = jnp.zeros((b, 1), jnp.float32)
+        dead = jnp.zeros((b, 1), jnp.float32)
+        ctr = jnp.int32(0)
+
+        # t = 0: uniform weights over identical initial particles (Q4/Q5).
+        ses_ref[:, 0:1] = s0_ref[:, :]
+        sei_ref[:, 0:1] = i0_ref[:, :]
+
+        for t in range(num_obs):
+            # ---- exact Gillespie day step (while_loop, unrolled draws) ----
+            tloc = jnp.zeros((b, n), jnp.float32)
+            active = (i > 0.0).astype(jnp.float32)
+
+            def cond(carry):
+                _, _, _, act, steps, _ = carry
+                return jnp.logical_and(
+                    jnp.max(act) > 0.0, steps < MAX_EVENTS
+                )
+
+            def body(carry):
+                s, i, tloc, active, steps, ctr = carry
+                u, ctr = draw(2 * unroll, ctr)
+                for e in range(unroll):
+                    rate_inf = (lam * (1.0 / n_total)) * s * i
+                    rate_tot = rate_inf + gam * i
+                    live = jnp.logical_and(active > 0.0, rate_tot > 0.0)
+                    safe = jnp.where(live, rate_tot, 1.0)
+                    dt = -jnp.log1p(-u[2 * e]) / safe
+                    t_new = tloc + dt
+                    fire = jnp.logical_and(live, t_new <= 1.0)
+                    infect = u[2 * e + 1] < rate_inf / safe
+                    s = jnp.where(jnp.logical_and(fire, infect), s - 1.0, s)
+                    i = jnp.where(
+                        fire, jnp.where(infect, i + 1.0, i - 1.0), i
+                    )
+                    tloc = jnp.where(live, t_new, tloc)
+                    active = jnp.logical_and(fire, i > 0.0).astype(
+                        jnp.float32
+                    )
+                return s, i, tloc, active, steps + unroll, ctr
+
+            if "gillespie" in _DEBUG_SKIP:  # profiling stub: one cheap draw
+                u, ctr = draw(1, ctr)
+                i = jnp.maximum(i - jnp.floor(3.0 * u[0]), 0.0)
+            else:
+                s, i, _, _, _, ctr = jax.lax.while_loop(
+                    cond, body,
+                    (s, i, tloc, active, jnp.zeros((), jnp.int32), ctr),
+                )
+
+            # ---- Poisson log-weights (models/distributions.pois_logpmf) --
+            y_t = y_ref[t]
+            lgy_t = lgy_ref[t]
+            safe_i = jnp.where(i > 0.0, i, 1.0)
+            lw = y_t * jnp.log(safe_i) - i - lgy_t
+            lw = jnp.where(
+                i > 0.0, lw, jnp.where(y_t == 0.0, 0.0, neg)
+            )
+            lw = jnp.where(alive_mask, lw, neg)
+
+            # ---- normalize + ESS + likelihood increment ----
+            mx = jnp.max(lw, axis=-1, keepdims=True)          # [B, 1]
+            dead = jnp.maximum(dead, (mx < degenerate).astype(jnp.float32))
+            shifted = jnp.exp(lw - mx)
+            ssum = jnp.sum(shifted, axis=-1, keepdims=True)
+            w = shifted / ssum
+            ess = 1.0 / jnp.sum(w * w, axis=-1, keepdims=True)
+            loglike = loglike + mx + jnp.log(ssum) - jnp.log(alive_ct)
+
+            # ---- stratum positions from the in-kernel PRNG ----
+            u, ctr = draw(1, ctr)
+            if method == "stratified":
+                pos = (lane_f + u[0]) / alive_ct
+            elif method == "systematic":
+                # One shared offset per chain: lane 0's draw.
+                u0 = jnp.max(jnp.where(lane == 0, u[0], 0.0), axis=-1,
+                             keepdims=True)
+                pos = (lane_f + u0) / alive_ct
+            else:  # multinomial
+                pos = u[0]
+            pos = jnp.where(alive_mask, pos, 1.0)
+
+            if "resample" in _DEBUG_SKIP:  # profiling stub: no selection
+                ses_ref[:, t + 1:t + 2] = jnp.sum(
+                    w * s, axis=-1, keepdims=True
+                )
+                sei_ref[:, t + 1:t + 2] = jnp.sum(
+                    w * i, axis=-1, keepdims=True
+                )
+                continue
+
+            # ---- CDF (Hillis-Steele) + selection-matrix resample ----
+            cdf = w
+            shift = 1
+            while shift < n:
+                rolled = pltpu.roll(cdf, shift, axis=1)
+                cdf = cdf + jnp.where(lane >= shift, rolled, 0.0)
+                shift *= 2
+            cdf_prev = cdf - w
+            cdf_ext = jnp.where(lane == n - 1, jnp.inf, cdf)
+            v = s * _PACK + i                               # packed column
+            shape3 = (b, n, n)
+            pos_b = jnp.broadcast_to(pos[:, :, None], shape3)
+            cdf_b = jnp.broadcast_to(cdf_ext[:, None, :], shape3)
+            prev_b = jnp.broadcast_to(cdf_prev[:, None, :], shape3)
+            m = jnp.logical_and(pos_b >= prev_b, pos_b < cdf_b)
+            v_b = jnp.broadcast_to(v[:, None, :], shape3)
+            v_res = jnp.sum(jnp.where(m, v_b, jnp.zeros_like(v_b)), axis=2)
+            s_res = jnp.floor(v_res * (1.0 / _PACK))        # exact unpack
+            i_res = v_res - s_res * _PACK
+
+            if always_resample:
+                s, i = s_res, i_res
+                est_w = None                                 # uniform
+            else:
+                do = ess < thr                               # [B, 1]
+                do_rows = jnp.broadcast_to(do, (b, n))
+                s = jnp.where(do_rows, s_res, s)
+                i = jnp.where(do_rows, i_res, i)
+                est_w = jnp.where(
+                    do_rows, jnp.where(alive_mask, 1.0 / alive_ct, 0.0), w
+                )
+
+            # ---- state estimate (Q5: uniform weights after a resample) --
+            if est_w is None:
+                est_w = jnp.where(alive_mask, 1.0 / alive_ct, 0.0)
+            live_f = 1.0 - dead
+            est_s = jnp.sum(est_w * s, axis=-1, keepdims=True) * live_f
+            est_i = jnp.sum(est_w * i, axis=-1, keepdims=True) * live_f
+            ses_ref[:, t + 1:t + 2] = est_s
+            sei_ref[:, t + 1:t + 2] = est_i
+
+        ll_ref[:, :] = jnp.where(dead > 0.0, -jnp.inf, loglike)
+
+    return kernel
+
+
+def _batched_call(seeds, lam, gam, alive, thr, s0, i0, y, lgy, *,
+                  n_static, n_total, unroll, method, always_resample,
+                  interpret):
+    """seeds [C, 2] int32; lam/gam/alive/thr/s0/i0 [C] f32; y/lgy [T] f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c = lam.shape[0]
+    n = n_static
+    num_obs = y.shape[0]
+    t1 = num_obs + 1
+
+    b = _chains_per_program(c, n)
+    g = -(-c // b)
+    pad = g * b - c
+    if pad:
+        def padc(x):
+            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+        seeds = padc(seeds)
+        # Inert padded chains: zero rates, one alive lane, zero state.
+        lam, gam = padc(lam), padc(gam)
+        alive = jnp.pad(alive, (0, pad), constant_values=1.0)
+        thr = jnp.pad(thr, (0, pad), constant_values=1.0)
+        s0, i0 = padc(s0), padc(i0)
+
+    kernel = _make_kernel(
+        n, float(n_total), int(num_obs), int(unroll), method,
+        bool(always_resample), bool(interpret),
+    )
+    space = pl.ANY if interpret else pltpu.VMEM
+    smem = pl.ANY if interpret else pltpu.SMEM
+
+    def spec(*dims):
+        return pl.BlockSpec(
+            (None,) + dims, lambda idx: (idx,) + (0,) * len(dims),
+            memory_space=space,
+        )
+
+    def whole(shape):
+        return pl.BlockSpec(
+            shape, lambda idx: (0,) * len(shape), memory_space=smem
+        )
+
+    col = lambda x: x.reshape(g, b, 1).astype(jnp.float32)  # noqa: E731
+
+    ll, ses, sei = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((g, b, t1), jnp.float32),
+            jax.ShapeDtypeStruct((g, b, t1), jnp.float32),
+        ),
+        in_specs=[
+            whole((g, 2)),                  # per-program seeds
+            whole((num_obs,)),              # y
+            whole((num_obs,)),              # lgamma(y + 1)
+            spec(b, 1), spec(b, 1), spec(b, 1), spec(b, 1),
+            spec(b, 1), spec(b, 1),
+        ],
+        out_specs=(spec(b, 1), spec(b, t1), spec(b, t1)),
+        interpret=interpret,
+    )(
+        seeds.reshape(g, b, 2)[:, 0, :],
+        y.astype(jnp.float32),
+        lgy.astype(jnp.float32),
+        col(lam), col(gam), col(alive), col(thr), col(s0), col(i0),
+    )
+    ll = ll.reshape(g * b)[:c]
+    ses = ses.reshape(g * b, t1)[:c]
+    sei = sei.reshape(g * b, t1)[:c]
+    return ll, jnp.stack([ses, sei], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_op(n_static, n_total, unroll, method, always_resample, interpret):
+    kw = dict(
+        n_static=n_static, n_total=n_total, unroll=unroll, method=method,
+        always_resample=always_resample, interpret=interpret,
+    )
+
+    @jax.custom_batching.custom_vmap
+    def op(seeds, lam, gam, alive, thr, s0, i0, y, lgy):
+        ll, se = _batched_call(
+            seeds[None], lam[None], gam[None], alive[None], thr[None],
+            s0[None], i0[None], y, lgy, **kw,
+        )
+        return ll[0], se[0]
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, seeds, lam, gam, alive, thr, s0, i0,
+              y, lgy):
+        if in_batched[7] or in_batched[8]:
+            raise ValueError(
+                "sir_bpf_sweep: y is shared across chains and cannot be "
+                "vmapped"
+            )
+
+        def ensure(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape
+            )
+
+        args = [
+            ensure(x, bt)
+            for x, bt in zip(
+                (seeds, lam, gam, alive, thr, s0, i0), in_batched[:7]
+            )
+        ]
+        out = _batched_call(*args, y, lgy, **kw)
+        return out, (True, True)
+
+    return op
+
+
+def sir_bpf_sweep(
+    key,
+    y,
+    num_particles,
+    lam,
+    gamma,
+    n_total,
+    init_infected,
+    max_particles: int | None = None,
+    resample_fn: str = "stratified",
+    resample_algorithm: str = "SISAR",
+    threshold=None,
+    unroll: int = 4,
+    interpret: bool = False,
+):
+    """Full SIR bootstrap-filter sweep in one fused TPU kernel (vmap-aware).
+
+    Drop-in fast path for the PMMH hot loop on the SIR model: returns
+    ``(loglike, state_est [T+1, 2])`` with the same sampling distribution
+    as ``bootstrap_filter`` over ``sir_model(...)`` under the default
+    fresh-weight semantics (bit-streams differ — parity is distributional,
+    like every RNG-bearing path). ``num_particles`` may be a traced
+    per-chain count with ``max_particles`` the static lane bound (a
+    multiple of 128, <= 1024).
+    """
+    if resample_algorithm not in ("SISR", "SISAR"):
+        raise ValueError("sir_bpf_sweep supports SISR or SISAR only")
+    if resample_fn not in ("stratified", "systematic", "multinomial"):
+        raise ValueError(f"unknown resample_fn {resample_fn!r}")
+    if float(n_total) > _PACK - 2.0:
+        raise ValueError(
+            f"sir_bpf_sweep requires n_total <= {int(_PACK) - 2} "
+            "(packed-lane resampling bound)"
+        )
+    if max_particles is None:
+        max_particles = int(num_particles)
+    n_static = int(max_particles)
+    if n_static % 128 or n_static > 1024:
+        raise ValueError(
+            "max_particles must be a multiple of 128 and <= 1024"
+        )
+
+    from jax.scipy.special import gammaln
+
+    ys = jnp.asarray(y, jnp.float32).reshape(-1)
+    lgy = gammaln(ys + 1.0)
+
+    kd = jnp.ravel(jax.random.key_data(key))[:2]
+    seeds = jax.lax.bitcast_convert_type(kd.astype(jnp.uint32), jnp.int32)
+    alive = jnp.asarray(num_particles, jnp.float32).reshape(())
+    thr = (
+        jnp.asarray(threshold, jnp.float32).reshape(())
+        if threshold is not None
+        else alive / 2.0
+    )
+    lam = jnp.asarray(lam, jnp.float32).reshape(())
+    gam = jnp.asarray(gamma, jnp.float32).reshape(())
+    s0 = jnp.asarray(float(n_total - init_infected), jnp.float32)
+    i0 = jnp.asarray(float(init_infected), jnp.float32)
+
+    op = _make_op(
+        n_static, float(n_total), int(unroll), resample_fn,
+        resample_algorithm == "SISR", bool(interpret),
+    )
+    return op(seeds, lam, gam, alive, thr, s0, i0, ys, lgy)

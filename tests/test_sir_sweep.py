@@ -1,0 +1,133 @@
+"""Fused whole-sweep SIR kernel (ops/sir_sweep_pallas.py), interpret mode.
+
+The sweep kernel must sample from the same distribution as the generic
+engine (filters/core.py) running the SIR model with fresh-weight SISAR —
+the reference BPF semantics (/root/reference/R/particle_filter_core.R:
+123-246). Bit-streams differ (in-kernel PRNG vs threefry), so equivalence
+is distributional, mirroring how the per-day kernels are validated.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesssm_tpu.filters.bootstrap import bootstrap_filter
+from bayesssm_tpu.models.sir import simulate_sir, sir_model
+from bayesssm_tpu.ops.sir_sweep_pallas import sir_bpf_sweep
+
+N_TOTAL, I0, N = 100, 10, 128
+LAM, GAM = 0.4, 0.25
+
+
+@pytest.fixture(scope="module")
+def ys():
+    _, y = simulate_sir(seed=7, n_total=N_TOTAL, init_infected=I0, t_max=6)
+    return jnp.asarray(y, jnp.float32)
+
+
+def _sweep_batch(ys, c, key=0, **kw):
+    keys = jax.random.split(jax.random.key(key), c)
+
+    def one(k):
+        return sir_bpf_sweep(
+            k, ys, kw.pop("num_particles", N), LAM, GAM, N_TOTAL, I0,
+            interpret=True, **kw,
+        )
+
+    return jax.jit(jax.vmap(one))(keys)
+
+
+def _core_batch(ys, c, key=1, num_particles=N, max_particles=None):
+    (init_fn, transition_fn, loglik_fn), _, _ = sir_model(
+        n_total=N_TOTAL, init_infected=I0
+    )
+    keys = jax.random.split(jax.random.key(key), c)
+
+    def one(k):
+        r = bootstrap_filter(
+            k, ys, num_particles, init_fn, transition_fn, loglik_fn,
+            theta={"lam": LAM, "gamma": GAM}, return_particles=False,
+            max_particles=max_particles,
+        )
+        return r.loglike, r.state_est
+
+    return jax.jit(jax.vmap(one))(keys)
+
+
+def test_matches_core_filter_distributionally(ys):
+    c = 192
+    ll_s, se_s = _sweep_batch(ys, c)
+    ll_c, se_c = _core_batch(ys, c)
+    assert bool(jnp.isfinite(ll_s).all())
+    # Unbiased log-likelihood estimators of the same marginal likelihood:
+    # means agree within a few combined standard errors.
+    se_tol = 4.0 * float(
+        np.hypot(np.std(np.asarray(ll_s)), np.std(np.asarray(ll_c)))
+    ) / np.sqrt(c)
+    assert abs(float(ll_s.mean() - ll_c.mean())) < se_tol
+    # Filtered state trajectories agree within MC error.
+    np.testing.assert_allclose(
+        np.asarray(se_s.mean(axis=0)), np.asarray(se_c.mean(axis=0)),
+        rtol=0.05, atol=0.5,
+    )
+
+
+def test_deterministic_per_key(ys):
+    ll1, se1 = _sweep_batch(ys, 8, key=3)
+    ll2, se2 = _sweep_batch(ys, 8, key=3)
+    np.testing.assert_array_equal(np.asarray(ll1), np.asarray(ll2))
+    np.testing.assert_array_equal(np.asarray(se1), np.asarray(se2))
+
+
+def test_masked_lanes_match_core(ys):
+    """Traced per-chain num_particles (Q9) under the static 128-lane bound."""
+    c = 192
+    keys = jax.random.split(jax.random.key(5), c)
+
+    def one(k, n_alive):
+        return sir_bpf_sweep(
+            k, ys, n_alive, LAM, GAM, N_TOTAL, I0, max_particles=N,
+            interpret=True,
+        )
+
+    ll_m, _ = jax.jit(jax.vmap(one))(keys, jnp.full((c,), 64.0))
+    ll_c, _ = _core_batch(ys, c, key=6, num_particles=64)
+    assert bool(jnp.isfinite(ll_m).all())
+    se_tol = 4.0 * float(
+        np.hypot(np.std(np.asarray(ll_m)), np.std(np.asarray(ll_c)))
+    ) / np.sqrt(c)
+    assert abs(float(ll_m.mean() - ll_c.mean())) < se_tol
+
+
+def test_degenerate_observation_gives_neg_inf(ys):
+    """An impossible observation drives every lane below -1e8 => -inf
+    (the reference's early-return contract, core's dead flag)."""
+    y_bad = ys.at[2].set(1.0e7)
+    ll, se = _sweep_batch(y_bad, 4)
+    assert bool(jnp.isinf(ll).all()) and bool((ll < 0).all())
+    # Estimates after the death step are zeroed like the core/reference.
+    assert np.allclose(np.asarray(se)[:, 3:], 0.0)
+
+
+def test_resample_variants_run(ys):
+    for method in ("systematic", "multinomial"):
+        ll, _ = _sweep_batch(ys, 8, key=9, resample_fn=method)
+        assert bool(jnp.isfinite(ll).all())
+    ll, _ = _sweep_batch(ys, 8, key=9, resample_algorithm="SISR")
+    assert bool(jnp.isfinite(ll).all())
+
+
+def test_validation_errors(ys):
+    with pytest.raises(ValueError, match="SISR or SISAR"):
+        sir_bpf_sweep(jax.random.key(0), ys, N, LAM, GAM, N_TOTAL, I0,
+                      resample_algorithm="SIS", interpret=True)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        sir_bpf_sweep(jax.random.key(0), ys, 100, LAM, GAM, N_TOTAL, I0,
+                      interpret=True)
+    with pytest.raises(ValueError, match="n_total"):
+        sir_bpf_sweep(jax.random.key(0), ys, N, LAM, GAM, 5000, I0,
+                      interpret=True)
+    with pytest.raises(ValueError, match="resample_fn"):
+        sir_bpf_sweep(jax.random.key(0), ys, N, LAM, GAM, N_TOTAL, I0,
+                      resample_fn="bogus", interpret=True)
