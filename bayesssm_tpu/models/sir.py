@@ -24,7 +24,13 @@ import numpy as np
 
 from bayesssm_tpu.models.distributions import halfnorm_logpdf, pois_logpmf
 
-__all__ = ["sir_model", "simulate_sir", "gillespie_step", "tau_leap_step"]
+__all__ = [
+    "sir_model",
+    "simulate_sir",
+    "gillespie_step",
+    "tau_leap_step",
+    "sir_sweep_pf_impl",
+]
 
 # Hard cap on Gillespie events per unit interval; with rates bounded by
 # (lambda/4) n + gamma n the true event count is far below this for the
@@ -182,6 +188,76 @@ def sir_model(
     }
     param_transform = {"lam": "log", "gamma": "log"}
     return (init_fn, transition_fn, log_likelihood_fn), log_priors, param_transform
+
+
+def sir_sweep_pf_impl(
+    n_total: int = 500,
+    init_infected: int = 70,
+    unroll: int = 4,
+    interpret: bool = False,
+):
+    """PMMH ``pf_impl`` factory routing the SIR filter through the fused
+    whole-sweep Pallas kernel (ops/sir_sweep_pallas.py).
+
+    Usage: ``pmmh(..., pf_impl=sir_sweep_pf_impl(500, 70))``. Shares
+    ``pmmh.tuning._make_pf_loglike``'s signature so the driver can swap it
+    in for BOTH the pilot-tuning and sampling phases — the TPU-native
+    analogue of the reference's Rcpp escape hatch
+    (/root/reference/vignettes/articles/detailed-overview.Rmd:401-470).
+    Supports BPF with fresh-weight SISR/SISAR on contiguous observation
+    times; anything else raises so misuse cannot silently change the
+    sampled distribution.
+    """
+    from bayesssm_tpu.ops.sir_sweep_pallas import sir_bpf_sweep
+
+    def factory(
+        y,
+        num_particles,
+        param_names,
+        model_fns,
+        obs_times,
+        algorithm,
+        resample_algorithm,
+        resample_fn,
+        carry_weights,
+        max_particles=None,
+    ):
+        del model_fns  # the kernel IS the model
+        if algorithm != "BPF":
+            raise ValueError("sir_sweep_pf_impl supports BPF only")
+        if obs_times is not None:
+            raise ValueError(
+                "sir_sweep_pf_impl supports contiguous obs_times only"
+            )
+        if carry_weights:
+            raise ValueError(
+                "sir_sweep_pf_impl implements the reference fresh-weight "
+                "semantics (carry_weights=False)"
+            )
+        if set(param_names) != {"lam", "gamma"}:
+            raise ValueError(
+                "sir_sweep_pf_impl expects parameters {'lam', 'gamma'}"
+            )
+        j_lam = param_names.index("lam")
+        j_gam = param_names.index("gamma")
+        ys = jnp.asarray(y, jnp.float32)
+
+        def pf(key, theta_vec, n=num_particles):
+            return sir_bpf_sweep(
+                key, ys, n, theta_vec[j_lam], theta_vec[j_gam],
+                n_total, init_infected,
+                max_particles=max_particles
+                if max_particles is not None
+                else n,
+                resample_fn=resample_fn,
+                resample_algorithm=resample_algorithm,
+                unroll=unroll,
+                interpret=interpret,
+            )
+
+        return pf
+
+    return factory
 
 
 def simulate_sir(

@@ -152,6 +152,7 @@ def pmmh(
     checkpoint_every: Optional[int] = None,
     checkpoint_path=None,
     resume: bool = False,
+    pf_impl=None,
 ) -> PMMHOutput:
     """Run PMMH with pilot tuning; returns a PMMHOutput.
 
@@ -162,6 +163,15 @@ def pmmh(
     state (utils/checkpoint.py); ``resume=True`` continues from an existing
     snapshot at ``checkpoint_path`` (tuning is skipped — the tuned proposal
     and particle counts are restored from the snapshot).
+
+    ``pf_impl`` optionally replaces the generic filter evaluator in BOTH
+    phases with a custom one sharing ``_make_pf_loglike``'s signature and
+    returning ``pf(key, theta_vec, n=...) -> (loglike, state_est)`` — the
+    TPU-native analogue of the reference's "rewrite your model in Rcpp"
+    escape hatch (detailed-overview.Rmd:401-470): e.g.
+    ``models/sir.py::sir_sweep_pf_impl`` routes the whole sweep through one
+    fused Pallas kernel. The evaluator must match the requested algorithm/
+    resampling semantics (distributionally) — it is trusted, not checked.
     """
     # ---------------- validation (R/pmmh.R:263-322) ----------------
     if not isinstance(m, (int, np.integer)) or m < 1:
@@ -262,7 +272,7 @@ def pmmh(
             key, ys, param_names, model_fns, prior_fns, th0, transforms,
             tune_control, obs_times=obs_times, algorithm=algorithm,
             jacobian_convention=jacobian_convention,
-            carry_weights=carry_weights,
+            carry_weights=carry_weights, pf_impl=pf_impl,
         )
 
     from bayesssm_tpu.utils.timing import PhaseTimer
@@ -313,7 +323,7 @@ def pmmh(
     max_particles = ((max_n + 127) // 128) * 128
 
     # ---------------- phase 2: main PMMH chains (chunked) ----------------
-    pf = _make_pf_loglike(
+    pf = (pf_impl or _make_pf_loglike)(
         ys, None, param_names, model_fns, obs_times, algorithm,
         resample_algorithm, resample_fn, carry_weights,
         max_particles=max_particles,

@@ -184,6 +184,7 @@ def run_pilot_chain(
     algorithm: str = "BPF",
     jacobian_convention: str = "consistent",
     carry_weights: bool = False,
+    pf_impl=None,
 ):
     """Run one pilot RWM chain + pilot variance run; returns a dict.
 
@@ -191,6 +192,9 @@ def run_pilot_chain(
     Returns pilot_theta_mean [P], pilot_theta_cov [P, P] (untransformed
     scale, Q6), target_n (traced scalar), pilot_theta_chain [pilot_m, P],
     pilot_loglike_chain [pilot_m], and variance_estimate.
+
+    ``pf_impl`` optionally replaces ``_make_pf_loglike`` (same signature)
+    with a custom filter evaluator — e.g. a model-fused Pallas sweep.
     """
     p = len(param_names)
     init_theta = jnp.asarray(init_theta)
@@ -200,7 +204,7 @@ def run_pilot_chain(
     # Pad the pilot filter's lane count to a multiple of 128 (masked lanes
     # keep the effective particle count at exactly pilot_n) so the pilot
     # chain also rides the fused TPU kernel.
-    pf = _make_pf_loglike(
+    pf = (pf_impl or _make_pf_loglike)(
         y,
         control.pilot_n,
         param_names,

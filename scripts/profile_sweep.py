@@ -106,3 +106,43 @@ for skip, budgets in (
         except Exception as e:
             print(f"sweep[{label}] {budget_mb}MB (B={b}): FAILED "
                   f"{type(e).__name__}: {str(e)[:160]}")
+
+
+# ---- structural overhead probes ----
+def mh_scan_noswp(keys, thetas, lls):
+    """Same MH scan with the sweep replaced by a trivial jnp loglike."""
+    def one(key, theta, ll):
+        def step(carry, _):
+            key, theta, ll = carry
+            key, k_prop, k_pf, k_acc = jax.random.split(key, 4)
+            z = jnp.log(theta)
+            zp = z + 0.1 * jax.random.normal(k_prop, z.shape, z.dtype)
+            theta_prop = jnp.exp(zp)
+            ll_prop = -jnp.sum(theta_prop) + jax.random.normal(k_pf, ())
+            log_ratio = (ll_prop + lp(theta_prop) + zp.sum()) - (
+                ll + lp(theta) + z.sum()
+            )
+            accept = jnp.log(jax.random.uniform(k_acc)) < log_ratio
+            return (key, jnp.where(accept, theta_prop, theta),
+                    jnp.where(accept, ll_prop, ll)), None
+
+        (key, theta, ll), _ = lax.scan(step, (key, theta, ll), None,
+                                       length=K)
+        return key, theta, ll
+
+    return jax.vmap(one)(keys, thetas, lls)
+
+
+sw._DEBUG_SKIP = ("gillespie", "resample")
+sw._SELECTION_VMEM_BUDGET = 2 * 1024 * 1024
+sw._make_op.cache_clear()
+timeit("sweep[both stubbed  ]  2MB        ", jax.jit(mh_scan), keys,
+       thetas, lls)
+timeit("glue only (no pallas)             ", jax.jit(mh_scan_noswp), keys,
+       thetas, lls)
+
+K = 64
+sw._DEBUG_SKIP = ()
+sw._make_op.cache_clear()
+timeit("sweep[full] K=64                  ", jax.jit(mh_scan), keys,
+       thetas, lls)

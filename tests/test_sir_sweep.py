@@ -118,6 +118,51 @@ def test_resample_variants_run(ys):
     assert bool(jnp.isfinite(ll).all())
 
 
+def test_pmmh_pf_impl_hook(ys):
+    """pmmh(pf_impl=...) runs BOTH phases through the fused sweep and
+    produces a posterior consistent with the generic engine's."""
+    from bayesssm_tpu import default_tune_control, pmmh
+    from bayesssm_tpu.models.sir import sir_sweep_pf_impl
+
+    (init_fn, transition_fn, loglik_fn), log_priors, transform = sir_model(
+        n_total=N_TOTAL, init_infected=I0
+    )
+    tc = default_tune_control(pilot_m=30, pilot_burn_in=10, pilot_reps=4)
+    out = pmmh(
+        "bootstrap_filter", np.asarray(ys), 40,
+        init_fn, transition_fn, loglik_fn, log_priors,
+        pilot_init_params=[{"lam": 0.5, "gamma": 0.3}] * 2,
+        burn_in=10, num_chains=2, param_transform=transform, seed=11,
+        tune_control=tc, print_summary=False,
+        pf_impl=sir_sweep_pf_impl(N_TOTAL, I0, interpret=True),
+    )
+    s = out.summary()
+    assert np.isfinite([s[p]["mean"] for p in ("lam", "gamma")]).all()
+    assert 0.0 < s["lam"]["mean"] < 2.0
+    assert 0.0 < s["gamma"]["mean"] < 2.0
+
+
+def test_pf_impl_factory_validation(ys):
+    from bayesssm_tpu.models.sir import sir_sweep_pf_impl
+
+    factory = sir_sweep_pf_impl(N_TOTAL, I0, interpret=True)
+    kw = dict(
+        y=ys, num_particles=N, param_names=["lam", "gamma"],
+        model_fns=None, obs_times=None, algorithm="BPF",
+        resample_algorithm="SISAR", resample_fn="stratified",
+        carry_weights=False,
+    )
+    factory(**kw)  # valid config builds
+    with pytest.raises(ValueError, match="BPF only"):
+        factory(**{**kw, "algorithm": "APF"})
+    with pytest.raises(ValueError, match="contiguous"):
+        factory(**{**kw, "obs_times": [1, 3]})
+    with pytest.raises(ValueError, match="fresh-weight"):
+        factory(**{**kw, "carry_weights": True})
+    with pytest.raises(ValueError, match="lam"):
+        factory(**{**kw, "param_names": ["a", "b"]})
+
+
 def test_validation_errors(ys):
     with pytest.raises(ValueError, match="SISR or SISAR"):
         sir_bpf_sweep(jax.random.key(0), ys, N, LAM, GAM, N_TOTAL, I0,
