@@ -198,7 +198,8 @@ def particle_filter_core(
     if sharded:
         if particle_axis_size < 1 or n_static % particle_axis_size:
             raise ValueError(
-                "num_particles/max_particles must divide particle_axis_size"
+                "num_particles/max_particles must be divisible by "
+                "particle_axis_size"
             )
         n_loc = n_static // particle_axis_size
     else:

@@ -88,18 +88,36 @@ def _kernel(lw_ref, pos_ref, uniform_ref, thr_ref, *rest,
         rolled = pltpu.roll(cdf, shift, axis=1)
         cdf = cdf + jnp.where(lane >= shift, rolled, 0.0)
         shift *= 2
-    cdf_prev = cdf - w
+    # A parallel-scan f32 CDF is NOT monotone: each lane's prefix sums a
+    # different reduction tree, so cdf_i can dip below cdf_{i-1} by a ULP —
+    # a position inside such a wiggle matches TWO buckets (doubled masked
+    # sum). A running-max scan (same shift pattern, max instead of add;
+    # identity 0 since cdf >= 0) restores monotonicity at ULP cost.
+    shift = 1
+    while shift < n:
+        rolled = pltpu.roll(cdf, shift, axis=1)
+        cdf = jnp.maximum(cdf, jnp.where(lane >= shift, rolled, 0.0))
+        shift *= 2
+    # Bucket lower edges from the SCAN ITSELF (roll by one), not cdf - w:
+    # an f32 recomputation differs from cdf_{i-1} by ~1 ULP on ~half the
+    # lanes, leaving gaps (a position matches NO lane -> zero particle) and
+    # overlaps (TWO lanes -> doubled masked-sum). Monotone CDF + shared
+    # exact edges guarantee exactly one match per position.
+    cdf_prev = jnp.where(lane == 0, 0.0, pltpu.roll(cdf, 1, axis=1))
     pos = pos_ref[:, :]                               # [B, N]
     # Selection matrix per chain: output slot j takes the first ancestor i
-    # whose CDF segment contains pos_j. Extending the LAST lane's segment to
-    # [cdf_prev, +inf) (one O(BN) select) subsumes the overshoot clamp for
-    # positions past the float-cumsum total: every other segment tops out
-    # at cdf_{N-2} = the last segment's lower edge, so selection stays
-    # unique and matches the explicit max-compare clamp (up to the module
-    # docstring's CDF rounding-tie caveat) while saving four [B, N, N]
-    # passes. Broadcasts are materialized one axis at
-    # a time — Mosaic cannot broadcast sublanes and lanes in a single op.
-    cdf_ext = jnp.where(lane == n - 1, jnp.inf, cdf)
+    # whose CDF segment contains pos_j. Extending the last ALIVE lane's
+    # segment to [cdf_prev, +inf) subsumes the overshoot clamp for
+    # positions past the float-cumsum total, matching resample_indices'
+    # clip-to-last-alive (ops/resampling.py): alive lanes are exactly those
+    # with positive post-resample uniform weight, masked lanes' buckets are
+    # zero-width [cdf, cdf) and never match. Broadcasts are materialized one
+    # axis at a time — Mosaic cannot broadcast sublanes and lanes at once.
+    alive_lane = uniform_ref[:, :] > 0.0
+    last_alive = jnp.max(
+        jnp.where(alive_lane, lane, 0), axis=-1, keepdims=True
+    )
+    cdf_ext = jnp.where(lane == last_alive, jnp.inf, cdf)
     shape3 = (b, n, n)
     pos_b = jnp.broadcast_to(pos[:, :, None], shape3)        # lanes
     cdf_b = jnp.broadcast_to(cdf_ext[:, None, :], shape3)    # sublanes

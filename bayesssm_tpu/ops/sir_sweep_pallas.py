@@ -31,11 +31,13 @@ Returned per chain: ``(loglike, state_est [T+1, 2])`` — exactly what the
 PMMH hot loop consumes.
 
 Batching/PRNG/interpret rules follow ops/gillespie_pallas.py: a
-``custom_vmap`` lowers the chain axis to one gridded kernel; each block is
-seeded from its first chain's key data mixed with the program id (bit-
-reproducible for a fixed (key, blocking)); interpret mode swaps the
-hardware PRNG for the counter-based lowbias32 stream so CPU CI executes
-every other kernel line.
+``custom_vmap`` lowers the chain axis to one gridded kernel; the hardware
+generator is seeded from each block's first chain's key mixed with the
+program id, and every chain's OWN key is additionally XOR-mixed into its
+lanes' bits, so no chain's stream is a function of another chain's key
+alone (bit-reproducible for a fixed (key, blocking)); interpret mode swaps
+the hardware PRNG for the counter-based lowbias32 stream so CPU CI
+executes every other kernel line.
 """
 
 from __future__ import annotations
@@ -80,8 +82,8 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
     neg = np.float32(-1e30)
     degenerate = np.float32(-1e8)
 
-    def kernel(seed_ref, y_ref, lgy_ref, lam_ref, gam_ref, alive_ref,
-               thr_ref, s0_ref, i0_ref, ll_ref, ses_ref, sei_ref):
+    def kernel(seed_ref, y_ref, lgy_ref, sd0_ref, sd1_ref, lam_ref, gam_ref,
+               alive_ref, thr_ref, s0_ref, i0_ref, ll_ref, ses_ref, sei_ref):
         lam = lam_ref[:, :]                               # [B, 1]
         gam = gam_ref[:, :]
         alive_ct = alive_ref[:, :]                        # [B, 1] f32
@@ -94,6 +96,21 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
 
         seed0 = seed_ref[pl.program_id(0), 0]
         seed1 = seed_ref[pl.program_id(0), 1]
+        # Per-chain seed mix: every chain's OWN key feeds its lanes' bits
+        # (XOR below), so chains within a block are not a deterministic
+        # function of the block's first key alone — keeps independent-chain
+        # diagnostics (R-hat, cross-chain ESS) honest. int32 throughout
+        # (wrapping multiply matches uint32 bit-for-bit; Mosaic has no
+        # vector uint32<->f32 casts). Finalized with a lowbias32-style
+        # xorshift-multiply so adjacent fold_in seeds decorrelate.
+        sd0 = sd0_ref[:, :]                               # [B, 1] int32
+        sd1 = sd1_ref[:, :]
+        rmix = sd0 ^ (sd1 * jnp.int32(-1640531527) + jnp.int32(1))
+        rmix = rmix ^ ((rmix >> 16) & jnp.int32(0x0000FFFF))
+        rmix = rmix * jnp.int32(0x7FEB352D)
+        rmix = rmix ^ ((rmix >> 15) & jnp.int32(0x0001FFFF))
+        rmix = rmix * jnp.int32(-2073254261)              # 0x846CA68B
+        row_mix = jnp.broadcast_to(rmix, (b, n))          # [B, N] int32
         if software_prng:
             pid = jax.lax.convert_element_type(pl.program_id(0), jnp.uint32)
             s0w = jax.lax.convert_element_type(seed0, jnp.uint32)
@@ -118,17 +135,21 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
             """nblk [B, N] uniform f32 blocks in [0, 1); advances ctr."""
             if software_prng:
                 d0 = jax.lax.convert_element_type(ctr, jnp.uint32)
+                rm = jax.lax.convert_element_type(row_mix, jnp.uint32)
                 bits = jnp.stack([
-                    _hash32(lane_mix ^ ((d0 + jnp.uint32(k))
-                                        * jnp.uint32(0x85EBCA6B)))
+                    _hash32((lane_mix ^ rm)
+                            ^ ((d0 + jnp.uint32(k))
+                               * jnp.uint32(0x85EBCA6B)))
                     for k in range(nblk)
                 ])
                 u24 = (bits >> jnp.uint32(8)).astype(jnp.int32)
             else:
                 raw = pltpu.prng_random_bits((nblk, b, n))
                 # SIGNED int32 on TPU Mosaic: mask after the arithmetic
-                # shift (see ops/gillespie_pallas.py).
-                u24 = (raw >> 8) & jnp.int32(0x00FFFFFF)
+                # shift (see ops/gillespie_pallas.py). XOR with the
+                # per-chain mix BEFORE the shift: low 24 bits stay uniform
+                # and each chain's own key enters its stream.
+                u24 = ((raw ^ row_mix[None]) >> 8) & jnp.int32(0x00FFFFFF)
             return u24.astype(jnp.float32) * inv24, ctr + jnp.int32(nblk)
 
         s = jnp.broadcast_to(s0_ref[:, :], (b, n))
@@ -231,8 +252,28 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
                 rolled = pltpu.roll(cdf, shift, axis=1)
                 cdf = cdf + jnp.where(lane >= shift, rolled, 0.0)
                 shift *= 2
-            cdf_prev = cdf - w
-            cdf_ext = jnp.where(lane == n - 1, jnp.inf, cdf)
+            # Running-max pass: a parallel-scan f32 CDF is not monotone
+            # (per-lane reduction trees differ by ULPs); without it a
+            # position inside a wiggle matches TWO buckets and the packed
+            # sum decodes to an invalid state (see resampling_pallas.py).
+            shift = 1
+            while shift < n:
+                rolled = pltpu.roll(cdf, shift, axis=1)
+                cdf = jnp.maximum(cdf, jnp.where(lane >= shift, rolled, 0.0))
+                shift *= 2
+            # Bucket lower edges come from the SCAN ITSELF (roll by one), not
+            # cdf - w: an f32 recomputation differs from cdf_{i-1} by ~1 ULP
+            # on ~half the lanes, leaving gaps (a position matches NO lane ->
+            # fabricated zero particle) and overlaps (TWO lanes -> two packed
+            # values sum to an invalid state). Monotone CDF + shared exact
+            # edges guarantee exactly one match per position.
+            cdf_prev = jnp.where(lane == 0, 0.0, pltpu.roll(cdf, 1, axis=1))
+            # Overshoot clamp: cumsum rounding can leave cdf[last_alive]
+            # below a near-1 position. Extend the last ALIVE lane's bucket
+            # to +inf (matching resample_indices' clamp, ops/resampling.py)
+            # — masked lanes' buckets are zero-width [cdf, cdf) and never
+            # match, so dead-lane positions (pinned to 1.0) land here too.
+            cdf_ext = jnp.where(lane_f == alive_ct - 1.0, jnp.inf, cdf)
             v = s * _PACK + i                               # packed column
             shape3 = (b, n, n)
             pos_b = jnp.broadcast_to(pos[:, :, None], shape3)
@@ -328,6 +369,7 @@ def _batched_call(seeds, lam, gam, alive, thr, s0, i0, y, lgy, *,
             whole((g, 2)),                  # per-program seeds
             whole((num_obs,)),              # y
             whole((num_obs,)),              # lgamma(y + 1)
+            spec(b, 1), spec(b, 1),         # per-CHAIN seed words (int32)
             spec(b, 1), spec(b, 1), spec(b, 1), spec(b, 1),
             spec(b, 1), spec(b, 1),
         ],
@@ -337,6 +379,8 @@ def _batched_call(seeds, lam, gam, alive, thr, s0, i0, y, lgy, *,
         seeds.reshape(g, b, 2)[:, 0, :],
         y.astype(jnp.float32),
         lgy.astype(jnp.float32),
+        seeds[:, 0].reshape(g, b, 1),
+        seeds[:, 1].reshape(g, b, 1),
         col(lam), col(gam), col(alive), col(thr), col(s0), col(i0),
     )
     ll = ll.reshape(g * b)[:c]

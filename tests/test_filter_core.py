@@ -355,3 +355,28 @@ class TestVmapChains:
                 np.asarray(single.state_est),
                 rtol=2e-4, atol=1e-5,
             )
+
+
+def test_particle_axis_divisibility_message():
+    # Regression (round-2 VERDICT): the message stated the divisibility
+    # backwards — particle_axis_size must divide num_particles, not the
+    # other way around.
+    import pytest
+
+    from bayesssm_tpu.filters.core import particle_filter_core
+
+    with pytest.raises(
+        ValueError,
+        match="num_particles/max_particles must be divisible by "
+              "particle_axis_size",
+    ):
+        particle_filter_core(
+            jax.random.key(0),
+            jnp.zeros(3),
+            10,
+            lambda key, num_particles: jnp.zeros(num_particles),
+            lambda key, particles: particles,
+            lambda y, particles: jnp.zeros_like(particles),
+            particle_axis="particles",
+            particle_axis_size=4,
+        )
