@@ -19,6 +19,7 @@ _EXPORTS = {
     "particle_filter_core": "bayesssm_tpu.filters.core",
     "FilterResult": "bayesssm_tpu.filters.core",
     "FilterConfig": "bayesssm_tpu.filters.core",
+    "MeshConfig": "bayesssm_tpu.parallel.mesh",
     "bootstrap_filter": "bayesssm_tpu.filters.bootstrap",
     "auxiliary_filter": "bayesssm_tpu.filters.auxiliary",
     "resample_move_filter": "bayesssm_tpu.filters.resample_move",

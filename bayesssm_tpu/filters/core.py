@@ -56,10 +56,54 @@ from bayesssm_tpu.ops.weights import (
 )
 from bayesssm_tpu.utils.signatures import adapt_fn, adapt_move_fn
 
-__all__ = ["particle_filter_core", "FilterResult"]
+__all__ = ["particle_filter_core", "FilterResult", "FilterConfig"]
 
 ALGORITHMS = ("BPF", "APF", "RMPF")
 RESAMPLE_ALGORITHMS = ("SIS", "SISR", "SISAR")
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterConfig:
+    """Typed filter configuration (SURVEY.md §5 config row).
+
+    The reference configures its core through ``match.arg`` enum arguments
+    (/root/reference/R/particle_filter_core.R:33-50); this is the validated
+    dataclass equivalent — the filter analogue of ``TuneControl``. Pass it
+    as ``particle_filter_core(..., config=cfg)``; it then supplies every
+    field below and the corresponding individual keyword arguments are
+    ignored. Field names/defaults mirror ``particle_filter_core``.
+    """
+
+    algorithm: str = "BPF"
+    resample_algorithm: str = "SISAR"
+    resample_fn: str = "stratified"
+    threshold: Optional[float] = None
+    return_particles: bool = True
+    max_particles: Optional[int] = None
+    carry_weights: bool = False
+    use_fused: str | bool = "auto"
+    particle_axis: Optional[str] = None
+    particle_axis_size: int = 1
+
+    def __post_init__(self):
+        if self.algorithm not in ALGORITHMS:
+            raise ValueError(f"algorithm must be one of {ALGORITHMS}")
+        if self.resample_algorithm not in RESAMPLE_ALGORITHMS:
+            raise ValueError(
+                f"resample_algorithm must be one of {RESAMPLE_ALGORITHMS}"
+            )
+        if self.resample_fn not in RESAMPLE_METHODS:
+            raise ValueError(f"resample_fn must be one of {RESAMPLE_METHODS}")
+        if self.threshold is not None and not self.threshold >= 0:
+            raise ValueError("threshold must be non-negative")
+        if self.max_particles is not None and self.max_particles < 1:
+            raise ValueError("max_particles must be a positive integer")
+        if self.particle_axis_size < 1:
+            raise ValueError("particle_axis_size must be >= 1")
+
+    def kwargs(self) -> dict:
+        """The fields as ``particle_filter_core`` keyword arguments."""
+        return dataclasses.asdict(self)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,6 +171,7 @@ def particle_filter_core(
     use_fused: str | bool = "auto",
     particle_axis: Optional[str] = None,
     particle_axis_size: int = 1,
+    config: Optional["FilterConfig"] = None,
 ):
     """Run one particle filter. See module docstring for semantics.
 
@@ -170,7 +215,23 @@ def particle_filter_core(
       particle_axis_size: static size of ``particle_axis`` (required when
         ``particle_axis`` is set; mesh sizes are not recoverable statically
         inside the trace).
+      config: optional ``FilterConfig``; when given it supplies every
+        filter-shape option above (algorithm, resample_*, threshold,
+        return_particles, max_particles, carry_weights, use_fused,
+        particle_axis*) and the corresponding keyword arguments are ignored.
     """
+    if config is not None:
+        cfg = config.kwargs()
+        algorithm = cfg["algorithm"]
+        resample_algorithm = cfg["resample_algorithm"]
+        resample_fn = cfg["resample_fn"]
+        threshold = cfg["threshold"]
+        return_particles = cfg["return_particles"]
+        max_particles = cfg["max_particles"]
+        carry_weights = cfg["carry_weights"]
+        use_fused = cfg["use_fused"]
+        particle_axis = cfg["particle_axis"]
+        particle_axis_size = cfg["particle_axis_size"]
     if algorithm not in ALGORITHMS:
         raise ValueError(f"algorithm must be one of {ALGORITHMS}")
     if resample_algorithm not in RESAMPLE_ALGORITHMS:

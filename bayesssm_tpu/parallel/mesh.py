@@ -11,12 +11,57 @@ sharding the particle dimension of very large filters.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_chain_mesh", "shard_chain_tree", "chain_sharding"]
+__all__ = [
+    "MeshConfig",
+    "make_chain_mesh",
+    "shard_chain_tree",
+    "chain_sharding",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Typed mesh configuration (SURVEY.md §5 config row).
+
+    Captures the device-layout choices for a PMMH run — the TPU-native
+    analogue of the reference's single ``num_cores`` argument
+    (/root/reference/R/pmmh.R:253) generalized to a 2-D
+    ``(chains, particles)`` mesh. ``build()`` materializes the
+    ``jax.sharding.Mesh``; pass that to ``pmmh(mesh=...)``.
+    """
+
+    n_devices: int | None = None
+    particle_axis_size: int = 1
+    chain_axis: str = "chains"
+    particle_axis: str = "particles"
+
+    def __post_init__(self):
+        if self.particle_axis_size < 1:
+            raise ValueError("particle_axis_size must be >= 1")
+        if self.n_devices is not None and self.n_devices < 1:
+            raise ValueError("n_devices must be >= 1")
+        if self.chain_axis == self.particle_axis:
+            raise ValueError("chain_axis and particle_axis must differ")
+
+    def build(self, devices=None) -> Mesh:
+        """Create the ``(chain_axis, particle_axis)`` mesh."""
+        if devices is None:
+            devices = jax.devices()
+        n = self.n_devices if self.n_devices is not None else len(devices)
+        arr = np.asarray(devices[:n])
+        if n % self.particle_axis_size:
+            raise ValueError(
+                "n_devices must be divisible by particle_axis_size"
+            )
+        shape = (n // self.particle_axis_size, self.particle_axis_size)
+        return Mesh(arr.reshape(shape), (self.chain_axis, self.particle_axis))
 
 
 def make_chain_mesh(

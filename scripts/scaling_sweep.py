@@ -24,14 +24,19 @@ def main():
     ap.add_argument("--chains", type=int, nargs="+",
                     default=[256, 1024, 4096, 8192])
     ap.add_argument("--particles", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--calls", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--transition", default="gillespie_pallas")
     args = ap.parse_args()
 
     _, y = simulate_sir(seed=1405)
     base_per_chain = None
     for c in args.chains:
-        sps = tpu_samples_per_sec(y, c, args.particles, args.steps, args.calls)
+        sps, _ = tpu_samples_per_sec(
+            y, c, args.particles, args.steps, args.calls, args.reps,
+            args.transition,
+        )
         per_chain = sps / c
         if base_per_chain is None:
             base_per_chain = per_chain
