@@ -148,6 +148,7 @@ def pmmh(
     carry_weights: bool = False,
     mesh=None,
     chain_axis: str = "chains",
+    particle_axis: str = "particles",
     print_summary: bool = True,
     checkpoint_every: Optional[int] = None,
     checkpoint_path=None,
@@ -159,6 +160,18 @@ def pmmh(
     Arguments mirror the reference's pmmh() (/root/reference/R/pmmh.R:243);
     ``seed`` may be an int or a jax PRNG key. ``mesh`` optionally shards the
     chains axis over devices (jax.sharding.Mesh with a ``chain_axis`` axis).
+    If the mesh also has a ``particle_axis`` axis of size > 1, the PARTICLE
+    dimension of every filter evaluation (pilot tuning and sampling alike)
+    is sharded over it: both phases then run inside ``shard_map`` and the
+    filter completes its weight normalization/ESS with ``pmax``/``psum``
+    and resamples via the distributed inverse-CDF path
+    (ops.resampling.sharded_resample_indices), preserving the unsharded
+    likelihood estimator exactly. This is the chains x particles scale-out
+    the reference approximates with one process per chain
+    (/root/reference/R/pmmh.R:512-531). Results for a fixed key are
+    bit-reproducible for a fixed mesh layout and statistically invariant
+    across layouts (per-shard model streams derive from
+    fold_in(key, shard_index)).
     ``checkpoint_every``/``checkpoint_path`` periodically snapshot sampler
     state (utils/checkpoint.py); ``resume=True`` continues from an existing
     snapshot at ``checkpoint_path`` (tuning is skipped — the tuned proposal
@@ -238,12 +251,52 @@ def pmmh(
     )
     ys = jnp.asarray(y)
 
+    ps = 1
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         chain_sharding = NamedSharding(mesh, P(chain_axis))
         chain_keys = jax.device_put(chain_keys, chain_sharding)
         theta0 = jax.device_put(jnp.asarray(theta0), chain_sharding)
+        ps = int(dict(mesh.shape).get(particle_axis, 1))
+        if ps > 1:
+            if pf_impl is not None:
+                raise ValueError(
+                    "pf_impl evaluators are single-shard; use a mesh whose "
+                    f"'{particle_axis}' axis has size 1"
+                )
+            if num_chains % int(dict(mesh.shape)[chain_axis]):
+                raise ValueError(
+                    "num_chains must be divisible by the mesh chains axis "
+                    "when the particle axis is sharded"
+                )
+
+    if ps > 1:
+        import functools as _ft
+
+        from jax import shard_map as _shard_map
+
+        pf_factory = _ft.partial(
+            _make_pf_loglike,
+            particle_axis=particle_axis,
+            particle_axis_size=ps,
+        )
+
+        def _wrap_phase(fn, n_in):
+            return jax.jit(
+                _shard_map(
+                    fn,
+                    mesh=mesh,
+                    in_specs=(P(chain_axis),) * n_in,
+                    out_specs=P(chain_axis),
+                    check_vma=False,
+                )
+            )
+    else:
+        pf_factory = pf_impl or _make_pf_loglike
+
+        def _wrap_phase(fn, n_in):
+            return jax.jit(fn)
 
     # ---------------- resume path ----------------
     resume_state = None
@@ -272,7 +325,7 @@ def pmmh(
             key, ys, param_names, model_fns, prior_fns, th0, transforms,
             tune_control, obs_times=obs_times, algorithm=algorithm,
             jacobian_convention=jacobian_convention,
-            carry_weights=carry_weights, pf_impl=pf_impl,
+            carry_weights=carry_weights, pf_impl=pf_factory,
         )
 
     from bayesssm_tpu.utils.timing import PhaseTimer
@@ -281,7 +334,7 @@ def pmmh(
 
     if resume_state is None:
         with timer.phase("tuning"):
-            tuned = jax.jit(jax.vmap(tuning_phase))(
+            tuned = _wrap_phase(jax.vmap(tuning_phase), 2)(
                 chain_keys, jnp.asarray(theta0)
             )
             jax.block_until_ready(tuned["target_n"])
@@ -323,7 +376,7 @@ def pmmh(
     max_particles = ((max_n + 127) // 128) * 128
 
     # ---------------- phase 2: main PMMH chains (chunked) ----------------
-    pf = (pf_impl or _make_pf_loglike)(
+    pf = pf_factory(
         ys, None, param_names, model_fns, obs_times, algorithm,
         resample_algorithm, resample_fn, carry_weights,
         max_particles=max_particles,
@@ -355,14 +408,15 @@ def pmmh(
         se = jnp.where(accept, se_prop, se)
         return key, theta, ll, se, accept
 
-    @jax.jit
-    def init_eval(keys, th_means, n_chains):
+    def _init_eval(keys, th_means, n_chains):
         def one(key, th, n):
             key, k0 = jax.random.split(key)
             ll0, se0 = pf(k0, th.astype(jnp.float32), n=n)
             return key, th.astype(jnp.float32), ll0, se0
 
         return jax.vmap(one)(keys, th_means, n_chains)
+
+    init_eval = _wrap_phase(_init_eval, 3)
 
     from functools import lru_cache
 
@@ -385,7 +439,7 @@ def pmmh(
 
             return jax.vmap(one)(keys, thetas, lls, ses, factors, n_chains)
 
-        return jax.jit(chunk)
+        return _wrap_phase(chunk, 6)
 
     if verbose:
         print("Running Particle MCMC chains with tuned settings...")

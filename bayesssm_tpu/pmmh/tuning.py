@@ -116,8 +116,15 @@ def _make_pf_loglike(
     resample_fn,
     carry_weights,
     max_particles=None,
+    particle_axis=None,
+    particle_axis_size=1,
 ):
-    """Build key, theta_vec -> (loglike, state_est) for a fixed PF config."""
+    """Build key, theta_vec -> (loglike, state_est) for a fixed PF config.
+
+    ``particle_axis``/``particle_axis_size`` route the filter through the
+    collective particle-sharded core path (the caller must run the result
+    inside a ``shard_map`` over that mesh axis; see pmmh's mesh handling).
+    """
     init_fn, transition_fn, log_likelihood_fn, aux_fn, move_fn = model_fns
 
     def pf(key, theta_vec, n=num_particles):
@@ -139,6 +146,8 @@ def _make_pf_loglike(
             return_particles=False,
             max_particles=max_particles,
             carry_weights=carry_weights,
+            particle_axis=particle_axis,
+            particle_axis_size=particle_axis_size,
         )
         return res.loglike, res.state_est
 

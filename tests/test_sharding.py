@@ -66,28 +66,74 @@ def test_fixed_layout_bit_exact(m8_result):
 
 
 def test_mesh_layout_statistical_invariance(m8_result):
-    # No mesh vs 8-way chain sharding vs 4x2 chains-by-particles mesh: the
-    # deterministic tuning outputs agree exactly and the posteriors agree
-    # within MC noise (ULP-level compilation differences may flip
-    # individual MH decisions, so bit-equality of chains is not required).
+    # No mesh vs 8-way chain sharding vs 4x2 chains-by-particles mesh.
+    # The repo's invariance contract (CLAUDE.md) is bit-exactness for a
+    # FIXED layout and STATISTICAL invariance across layouts: different
+    # partitionings compile to different reduction orders, a ULP flip can
+    # swing a pilot-phase MH accept, and a flipped accept moves that
+    # chain's Var(loglik) estimate (and so its tuned target_n) wholesale.
+    # So: posteriors agree within MC noise, and the per-chain tuning/first
+    # samples agree on all but a couple of knife-edge chains.
+    # m42 has a REAL particles axis (size 2): since round 3 that routes
+    # pmmh through the collective sharded filter whose per-shard model RNG
+    # derives from fold_in(key, shard_index) — a different (equally valid)
+    # noise realization, so only the distributional checks apply to it.
     base = run(mesh=None)
     m8 = m8_result
     m42 = run(mesh=make_chain_mesh(8, particle_axis_size=2))
-    np.testing.assert_array_equal(base.target_n, m8.target_n)
-    np.testing.assert_array_equal(base.target_n, m42.target_n)
     for other in (m8, m42):
+        assert other.target_n.min() >= 50 and other.target_n.max() <= 1000
         for p in base.theta_chain:
             assert abs(
                 base.theta_chain[p].mean() - other.theta_chain[p].mean()
             ) < 0.25
-            # Most chains' first kept sample matches to float tolerance;
-            # an occasional chain can diverge when an ULP-level reduction
-            # difference flips a pilot-phase MH accept (the documented
-            # non-guarantee — bit equality holds only for a FIXED layout).
-            a = base.theta_chain[p][:, 0]
-            b = other.theta_chain[p][:, 0]
-            close = np.isclose(a, b, rtol=1e-4)
-            assert close.sum() >= len(close) - 1, (p, a, b)
+    # ps=1 layouts additionally run the SAME program modulo partitioning:
+    # per-chain tuning and first kept samples agree on all but the odd
+    # knife-edge chain (a ULP flip in a pilot accept moves that chain's
+    # Var(loglik) and so its target_n wholesale).
+    eq = np.asarray(base.target_n) == np.asarray(m8.target_n)
+    assert eq.sum() >= len(eq) - 2, (base.target_n, m8.target_n)
+    for p in base.theta_chain:
+        a = base.theta_chain[p][:, 0]
+        b = m8.theta_chain[p][:, 0]
+        close = np.isclose(a, b, rtol=1e-4)
+        assert close.sum() >= len(close) - 2, (p, a, b)
+
+
+def test_pmmh_particle_sharded_matches_unsharded():
+    # Round-2 VERDICT item 1: pmmh(mesh) with a particles axis > 1 must
+    # route every filter evaluation (tuning AND sampling) through the
+    # collective sharded core. 2 chains-axis x 4 particles-axis layout vs
+    # the unsharded run: per-shard model RNG differs by construction
+    # (fold_in(key, shard_index)), so the comparison is distributional.
+    mesh24 = make_chain_mesh(8, particle_axis_size=4)
+    sharded = run(mesh=mesh24, num_chains=4, seed=11)
+    base = run(mesh=None, num_chains=4, seed=11)
+    for p in base.theta_chain:
+        assert np.isfinite(sharded.theta_chain[p]).all()
+        assert abs(
+            base.theta_chain[p].mean() - sharded.theta_chain[p].mean()
+        ) < 0.3, p
+        assert sharded.theta_chain[p].shape == base.theta_chain[p].shape
+    # Tuned particle counts come from the same clamp rule on both paths.
+    assert sharded.target_n.min() >= 50 and sharded.target_n.max() <= 1000
+    # Sampling moved: at least one chain accepted something.
+    assert np.asarray(sharded.acceptance_rate).max() > 0.0
+
+
+def test_pmmh_particle_sharded_rejects_pf_impl():
+    mesh24 = make_chain_mesh(8, particle_axis_size=4)
+    with pytest.raises(ValueError, match="single-shard"):
+        pmmh(
+            "bootstrap_filter", Y, m=4,
+            init_fn=INIT_FN, transition_fn=TRANSITION_FN,
+            log_likelihood_fn=LOGLIK_FN, log_priors=LOG_PRIORS,
+            pilot_init_params={"a": 0.5, "sigma_x": 0.5, "sigma_y": 0.5},
+            burn_in=1, num_chains=2, seed=1,
+            param_transform=TRANSFORM, tune_control=FAST_TUNE,
+            mesh=mesh24, print_summary=False,
+            pf_impl=lambda *a, **k: None,
+        )
 
 
 def test_sharded_filter_matches_unsharded():
