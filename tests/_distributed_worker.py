@@ -1,0 +1,79 @@
+"""Worker process for the 2-process jax.distributed smoke test.
+
+Run by tests/test_distributed.py as ``python _distributed_worker.py
+<process_id> <port>`` with XLA_FLAGS forcing 2 virtual CPU devices per
+process. Exercises parallel/distributed.py end-to-end: initialize() ->
+global_chain_mesh() -> a cross-process collective -> one particle-sharded
+filter step over the global (chains, particles) mesh.
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from bayesssm_tpu.parallel.distributed import (  # noqa: E402
+    global_chain_mesh,
+    initialize,
+)
+
+
+def main():
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=2,
+        process_id=pid,
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.local_device_count() == 2
+    assert len(jax.devices()) == 4
+
+    mesh = global_chain_mesh(particle_axis_size=2)
+    assert dict(mesh.shape) == {"chains": 2, "particles": 2}, mesh.shape
+
+    # Cross-process collective through the global mesh: sum of a
+    # chains-sharded array, returned replicated.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("chains"))
+    x = jax.make_array_from_callback(
+        (8,), sh, lambda idx: np.arange(8.0, dtype=np.float32)[idx]
+    )
+    total = jax.jit(
+        jnp.sum, out_shardings=NamedSharding(mesh, P())
+    )(x)
+    assert float(total) == 28.0, float(total)
+
+    # One particle-sharded filter step over the DCN+ICI mesh: chains over
+    # processes, particles over each process's devices.
+    from bayesssm_tpu.models.lgss import lgss_model, simulate_lgss
+    from bayesssm_tpu.parallel.sharded import sharded_bootstrap_filter
+
+    (init_fn, trans_fn, loglik_fn), _, _ = lgss_model()
+    _, y = simulate_lgss(1, t_val=4)
+    theta = {
+        "a": np.full(2, 0.8, np.float32),
+        "sigma_x": np.full(2, 0.5, np.float32),
+        "sigma_y": np.full(2, 0.4, np.float32),
+    }
+    ll, se = sharded_bootstrap_filter(
+        jax.random.key(0), np.asarray(y, np.float32), 64, init_fn,
+        trans_fn, loglik_fn, theta, num_chains=2, mesh=mesh,
+    )
+    ll_sum = jax.jit(
+        jnp.sum, out_shardings=NamedSharding(mesh, P())
+    )(ll)
+    assert np.isfinite(float(ll_sum)), float(ll_sum)
+
+    jax.distributed.shutdown()
+    print(f"WORKER {pid} OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
