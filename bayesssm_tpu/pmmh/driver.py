@@ -154,6 +154,7 @@ def pmmh(
     checkpoint_path=None,
     resume: bool = False,
     pf_impl=None,
+    progress_every: Optional[int] = None,
 ) -> PMMHOutput:
     """Run PMMH with pilot tuning; returns a PMMHOutput.
 
@@ -176,6 +177,17 @@ def pmmh(
     state (utils/checkpoint.py); ``resume=True`` continues from an existing
     snapshot at ``checkpoint_path`` (tuning is skipped — the tuned proposal
     and particle counts are restored from the snapshot).
+
+    ``progress_every`` sets the sampling chunk length for live progress
+    reporting: after each chunk the driver prints step count and
+    chunk/cumulative acceptance rates across chains — the streaming
+    analogue of the reference's per-chain ``message()`` progress
+    (/root/reference/R/pmmh.R:347-352). Defaults to min(500, m) when
+    ``verbose=True``, off otherwise. Note the chunk layout is part of the
+    bit-reproducibility contract (like ``checkpoint_every``): different
+    chunkings compile different scans whose ULP-level reduction orders may
+    flip individual MH accepts; results for a fixed (key, layout,
+    chunking) are exactly reproducible.
 
     ``pf_impl`` optionally replaces the generic filter evaluator in BOTH
     phases with a custom one sharing ``_make_pf_loglike``'s signature and
@@ -478,12 +490,12 @@ def pmmh(
         ).copy()
         steps_done = resume_state["step"]
 
-    chunk_size = checkpoint_every or (m - steps_done) or 1
+    if progress_every is None and verbose:
+        progress_every = min(500, m)
+    chunk_size = checkpoint_every or progress_every or (m - steps_done) or 1
     sampling_timer = timer.phase("sampling")
     sampling_timer.__enter__()
     while steps_done < m:
-        if verbose:
-            print(f"Sampling: step {steps_done}/{m}...")
         length = min(chunk_size, m - steps_done)
         (cur_keys, cur_theta, cur_ll, cur_se), outs = chunk_fn(length)(
             cur_keys, cur_theta, cur_ll, cur_se, factors, n_chain_arr
@@ -496,6 +508,15 @@ def pmmh(
         theta_samples.append(np.asarray(thetas))
         accept_total += np.asarray(jnp.sum(accepts, axis=1))
         steps_done += length
+        if verbose:
+            # Live progress (R/pmmh.R:347-352 analogue): step counter plus
+            # acceptance over this chunk and cumulatively, across chains.
+            chunk_acc = float(np.mean(np.asarray(accepts)))
+            cum_acc = float(accept_total.mean()) / max(steps_done - 1, 1)
+            print(
+                f"Sampling: {steps_done}/{m} steps — acceptance "
+                f"chunk {chunk_acc:.3f}, cumulative {cum_acc:.3f}"
+            )
 
         if checkpoint_path is not None:
             from bayesssm_tpu.utils.checkpoint import save_checkpoint

@@ -19,6 +19,13 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+
+# Persistent compilation cache: the axon remote compile service has high
+# variance (minutes per program on bad days); caching lets a timed-out run
+# resume where it stopped on the next invocation.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 from jax import lax
 

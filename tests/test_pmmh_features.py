@@ -138,3 +138,32 @@ def test_reference_jacobian_convention():
     )
     for p in out.theta_chain:
         assert np.isfinite(out.theta_chain[p]).all()
+
+
+def test_verbose_progress_reports_acceptance(capsys):
+    # Live observability (R/pmmh.R:347-352 analogue): with verbose=True the
+    # sampling loop prints per-chunk step counts and acceptance rates.
+    (fns, log_priors, transform) = lgss_model()
+    init_fn, trans_fn, loglik_fn = fns
+    _, y = simulate_lgss(2, t_val=6)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pmmh(
+            "bootstrap_filter", y, m=9,
+            init_fn=init_fn, transition_fn=trans_fn,
+            log_likelihood_fn=loglik_fn, log_priors=log_priors,
+            pilot_init_params={"a": 0.5, "sigma_x": 0.5, "sigma_y": 0.5},
+            burn_in=2, num_chains=2, seed=3,
+            param_transform=transform,
+            tune_control=default_tune_control(
+                pilot_m=20, pilot_burn_in=5, pilot_reps=3
+            ),
+            verbose=True, progress_every=4, print_summary=False,
+        )
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.startswith("Sampling:")]
+    # m=9, first sample from init eval, chunks of 4 -> reports at 5 and 9.
+    assert len(lines) == 2, out
+    assert "5/9 steps" in lines[0] and "9/9 steps" in lines[1]
+    for ln in lines:
+        assert "acceptance chunk" in ln and "cumulative" in ln
