@@ -15,7 +15,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["sir_pmmh_steps", "sir_bpf_loglike"]
+__all__ = [
+    "sir_pmmh_steps",
+    "sir_bpf_loglike",
+    "sir_apf_loglike",
+    "sir_rmpf_loglike",
+]
 
 
 def _gillespie_day(rng, s, i, lam, gamma, n_total):
@@ -71,6 +76,80 @@ def sir_bpf_loglike(rng, y, n_particles, lam, gamma, n_total, init_infected):
             idx = np.searchsorted(np.cumsum(weights), u, side="left")
             idx = np.clip(idx, 0, n_particles - 1)
             s, i = s[idx], i[idx]
+    return loglike
+
+
+def _stratified_idx(rng, weights):
+    n = weights.shape[0]
+    u = (np.arange(n) + rng.uniform(size=n)) / n
+    idx = np.searchsorted(np.cumsum(weights), u, side="left")
+    return np.clip(idx, 0, n - 1)
+
+
+def sir_apf_loglike(rng, y, n_particles, lam, gamma, n_total, init_infected):
+    """One auxiliary-filter sweep (BASELINE.json config 4), reference
+    semantics incl. the Q2 double transition: propagate -> aux weights on
+    the propagated particles -> auxiliary resample -> propagate AGAIN ->
+    weights = loglik - aux[ancestors]
+    (/root/reference/R/particle_filter_core.R:139-175)."""
+    s = np.full(n_particles, float(n_total - init_infected))
+    i = np.full(n_particles, float(init_infected))
+    loglike = 0.0
+    for obs in y:
+        s, i = _gillespie_day(rng, s, i, lam, gamma, n_total)
+        aux = _pois_logpmf(np.full_like(i, obs), i)
+        mx_a = aux.max()
+        if mx_a < -1e8:
+            return -np.inf
+        wa = np.exp(aux - mx_a)
+        idx = _stratified_idx(rng, wa / wa.sum())
+        s, i, aux_anc = s[idx], i[idx], aux[idx]
+        s, i = _gillespie_day(rng, s, i, lam, gamma, n_total)
+        lw = _pois_logpmf(np.full_like(i, obs), i) - aux_anc
+        mx = lw.max()
+        if mx < -1e8:
+            return -np.inf
+        w = np.exp(lw - mx)
+        tot = w.sum()
+        weights = w / tot
+        loglike += mx + np.log(tot) - np.log(n_particles)
+        ess = 1.0 / np.square(weights).sum()
+        if ess < n_particles / 2:  # SISAR + stratified
+            idx = _stratified_idx(rng, weights)
+            s, i = s[idx], i[idx]
+    return loglike
+
+
+def sir_rmpf_loglike(
+    rng, y, n_particles, lam, gamma, n_total, init_infected, step_max=2
+):
+    """One resample-move sweep (BASELINE.json config 5): SISR resample
+    every step (/root/reference/R/resample_move_filter.R:230) + one
+    random-walk MH rejuvenation move per particle on the infectious count
+    (the serial analogue of models/sir.py::sir_move_fn)."""
+    s = np.full(n_particles, float(n_total - init_infected))
+    i = np.full(n_particles, float(init_infected))
+    loglike = 0.0
+    for obs in y:
+        s, i = _gillespie_day(rng, s, i, lam, gamma, n_total)
+        lw = _pois_logpmf(np.full_like(i, obs), i)
+        mx = lw.max()
+        if mx < -1e8:
+            return -np.inf
+        w = np.exp(lw - mx)
+        tot = w.sum()
+        weights = w / tot
+        loglike += mx + np.log(tot) - np.log(n_particles)
+        idx = _stratified_idx(rng, weights)  # SISR: always resample
+        s, i = s[idx], i[idx]
+        step = rng.integers(-step_max, step_max + 1, size=n_particles)
+        i_prop = i + step
+        in_support = (i_prop >= 0) & (i_prop <= n_total - s)
+        log_ratio = _pois_logpmf(
+            np.full_like(i, obs), np.maximum(i_prop, 0.0)
+        ) - _pois_logpmf(np.full_like(i, obs), i)
+        accept = in_support & (np.log(rng.uniform(size=n_particles)) < log_ratio)
+        i = np.where(accept, i_prop, i)
     return loglike
 
 

@@ -30,6 +30,8 @@ __all__ = [
     "gillespie_step",
     "tau_leap_step",
     "sir_sweep_pf_impl",
+    "sir_aux_log_likelihood_fn",
+    "sir_move_fn",
 ]
 
 # Hard cap on Gillespie events per unit interval; with rates bounded by
@@ -258,6 +260,54 @@ def sir_sweep_pf_impl(
         return pf
 
     return factory
+
+
+def sir_aux_log_likelihood_fn(y, particles):
+    """APF lookahead weights for the SIR model (BASELINE.json config 4).
+
+    The reference's APF evaluates the auxiliary weights on particles the
+    gap loop has ALREADY propagated to time t (quirk Q2,
+    /root/reference/R/particle_filter_core.R:139-175), so the natural
+    lookahead is the observation density at the propagated infectious
+    count — the same Poisson term as the weight function, which makes the
+    auxiliary resample a one-step-ahead adapted proposal.
+    """
+    return pois_logpmf(y, particles[..., 1])
+
+
+def sir_move_fn(n_total: int = 500, step_max: int = 2):
+    """RMPF rejuvenation move for SIR (BASELINE.json config 5).
+
+    A random-walk Metropolis move on the infectious count holding S fixed:
+    propose I' = I + U{-step_max..step_max} and accept with the Poisson
+    observation-likelihood ratio, rejecting proposals outside
+    [0, n_total - S] (rejection — not clipping — keeps the uniform
+    proposal symmetric, so the move is invariant for the observation
+    conditional). The vectorized analogue of the reference's per-particle
+    move contract (/root/reference/R/particle_filter_core.R:226-234; move
+    semantics as in Gilks & Berzuini 2001), rejuvenating duplicate
+    particles after the forced SISR resample.
+    """
+
+    def move_fn(key, particles, y, lam, gamma):
+        del lam, gamma  # the observation conditional is theta-free
+        s = particles[..., 0]
+        i = particles[..., 1]
+        k_step, k_acc = jax.random.split(key)
+        step = jax.random.randint(
+            k_step, i.shape, -step_max, step_max + 1
+        ).astype(i.dtype)
+        i_prop = i + step
+        in_support = (i_prop >= 0.0) & (i_prop <= float(n_total) - s)
+        log_ratio = pois_logpmf(y, jnp.maximum(i_prop, 0.0)) - pois_logpmf(
+            y, i
+        )
+        u = jax.random.uniform(k_acc, i.shape)
+        accept = in_support & (jnp.log(u) < log_ratio)
+        i_new = jnp.where(accept, i_prop, i)
+        return jnp.stack([s, i_new], axis=-1)
+
+    return move_fn
 
 
 def simulate_sir(

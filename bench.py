@@ -2,16 +2,30 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The workload is BASELINE.json's north-star config: bootstrap-filter PMMH on
-the stochastic SIR model (n_total=500, 70 initially infected, T=10 daily
-Poisson observations), 4096 chains running the full MH step (MVN propose in
-log-space -> full particle-filter sweep with exact vectorized Gillespie
-dynamics -> accept/reject) on device. ``vs_baseline`` is the speedup over a
-measured single-core NumPy implementation of the same sampler
-(baselines/single_core_numpy.py) — the reference R package publishes no
-numbers and R is unavailable here (BASELINE.md).
+The default workload is BASELINE.json's north-star config (3): bootstrap-
+filter PMMH on the stochastic SIR model (n_total=500, 70 initially
+infected, T=10 daily Poisson observations), 4096 chains running the full
+MH step (MVN propose in log-space -> full particle-filter sweep with exact
+vectorized Gillespie dynamics -> accept/reject) on device. ``--config``
+selects the filter variant:
 
-Usage: python bench.py [--quick] [--chains C] [--particles N] [--steps K]
+  bpf  (default) — bootstrap filter          (BASELINE.json config 3)
+  apf            — auxiliary filter lookahead (config 4)
+  rmpf           — resample-move rejuvenation (config 5)
+  pmmh           — the PUBLIC ``pmmh()`` driver end-to-end (pilot tuning +
+                   chunked sampling, the real two-phase pipeline); phase
+                   timings go to stderr, the JSON line reports
+                   sampling-phase samples/s.
+
+``vs_baseline`` is the speedup over a measured single-core NumPy
+implementation of the same sampler/filter (baselines/single_core_numpy.py)
+— the reference R package publishes no numbers and R is unavailable here
+(BASELINE.md). The baseline is the median of ``--baseline-reps`` repeats
+to keep the denominator stable (round-2 verdict: a 6-sweep sample put a 2x
+band on the headline).
+
+Usage: python bench.py [--quick] [--config C] [--chains C] [--particles N]
+                       [--steps K]
 """
 
 from __future__ import annotations
@@ -23,32 +37,67 @@ import time
 
 import numpy as np
 
+CONFIGS = ("bpf", "apf", "rmpf", "pmmh")
 
-def tpu_samples_per_sec(
-    y, chains, particles, steps_per_call, timed_calls, reps, transition,
-):
-    import jax
+
+def _build_pf_loglike(config, ys, particles, transition):
+    """(key, theta_vec) -> loglike for one chain, per filter config."""
     import jax.numpy as jnp
-    from jax import lax
 
+    from bayesssm_tpu.filters.auxiliary import auxiliary_filter
     from bayesssm_tpu.filters.bootstrap import bootstrap_filter
-    from bayesssm_tpu.models.sir import sir_model
-    from bayesssm_tpu.pmmh.priors import sum_log_priors
+    from bayesssm_tpu.filters.resample_move import resample_move_filter
+    from bayesssm_tpu.models.sir import (
+        sir_aux_log_likelihood_fn,
+        sir_model,
+        sir_move_fn,
+    )
 
     (init_fn, transition_fn, loglik_fn), log_priors, _ = sir_model(
         n_total=500, init_infected=70, transition=transition
     )
     param_names = list(log_priors)
     prior_fns = [log_priors[p] for p in param_names]
-    ys = jnp.asarray(y, dtype=jnp.float32)
-    prop_sd = jnp.array([0.1, 0.1], dtype=jnp.float32)
+    ys = jnp.asarray(ys, dtype=jnp.float32)
 
     def pf_loglike(key, theta_vec):
         theta = {p: theta_vec[j] for j, p in enumerate(param_names)}
-        return bootstrap_filter(
-            key, ys, particles, init_fn, transition_fn, loglik_fn,
-            theta=theta, return_particles=False,
-        ).loglike
+        if config == "apf":
+            res = auxiliary_filter(
+                key, ys, particles, init_fn, transition_fn, loglik_fn,
+                aux_log_likelihood_fn=sir_aux_log_likelihood_fn,
+                theta=theta, return_particles=False,
+            )
+        elif config == "rmpf":
+            res = resample_move_filter(
+                key, ys, particles, init_fn, transition_fn, loglik_fn,
+                move_fn=sir_move_fn(500), theta=theta,
+                return_particles=False,
+            )
+        else:
+            res = bootstrap_filter(
+                key, ys, particles, init_fn, transition_fn, loglik_fn,
+                theta=theta, return_particles=False,
+            )
+        return res.loglike
+
+    return pf_loglike, prior_fns
+
+
+def tpu_samples_per_sec(
+    y, chains, particles, steps_per_call, timed_calls, reps, transition,
+    config="bpf",
+):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from bayesssm_tpu.pmmh.priors import sum_log_priors
+
+    pf_loglike, prior_fns = _build_pf_loglike(
+        config, y, particles, transition
+    )
+    prop_sd = jnp.array([0.1, 0.1], dtype=jnp.float32)
 
     def mh_step(carry, _):
         key, theta, ll = carry
@@ -105,44 +154,108 @@ def tpu_samples_per_sec(
     return float(np.median(rates)), rates
 
 
-def baseline_samples_per_sec(y, particles, steps):
+def pmmh_e2e_samples_per_sec(y, chains, m, transition):
+    """The public two-phase pmmh() driver on the SIR benchmark config.
+
+    Pilot lengths are scaled down from the reference defaults (pilot_m
+    2000 -> 200, reps 100 -> 20) to bound bench wall time; the sampling
+    phase is the production chunked lax.scan driver unmodified. Returns
+    (sampling samples/s, timings dict, target_n stats).
+    """
+    import warnings
+
+    from bayesssm_tpu.models.sir import sir_model, sir_sweep_pf_impl
+    from bayesssm_tpu.pmmh.driver import pmmh
+    from bayesssm_tpu.pmmh.tuning import default_tune_control
+
+    # "sir_sweep" routes the whole filter through the fused whole-sweep
+    # kernel via pf_impl; the model fns are then unused by the filter but
+    # still required by the driver's signature validation.
+    model_transition = (
+        "gillespie_pallas" if transition == "sir_sweep" else transition
+    )
+    (init_fn, transition_fn, loglik_fn), log_priors, transform = sir_model(
+        n_total=500, init_infected=70, transition=model_transition
+    )
+    pf_impl = (
+        sir_sweep_pf_impl(500, 70) if transition == "sir_sweep" else None
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = pmmh(
+            "bootstrap_filter", np.asarray(y, np.float32), m,
+            init_fn, transition_fn, loglik_fn, log_priors,
+            pilot_init_params={"lam": 0.5, "gamma": 0.2},
+            burn_in=m // 4, num_chains=chains, seed=1405,
+            param_transform=transform,
+            tune_control=default_tune_control(
+                pilot_m=200, pilot_burn_in=50, pilot_reps=20
+            ),
+            print_summary=False, pf_impl=pf_impl,
+        )
+    sampling_s = out.timings.get("sampling", float("nan"))
+    rate = chains * m / sampling_s
+    return rate, dict(out.timings), np.asarray(out.target_n)
+
+
+def baseline_samples_per_sec(y, particles, steps, reps, config="bpf"):
     """Single-core samples/s: one MH step costs one PF sweep; timed at the
     generating parameters for run-to-run stability (MH exploration makes
     per-step cost noisy), which if anything flatters the baseline since
-    proposals above the truth simulate more epidemic events."""
+    proposals above the truth simulate more epidemic events. Median of
+    ``reps`` repeats (round-2 verdict: a single short sample put a 2x
+    uncertainty band on vs_baseline)."""
     sys.path.insert(0, "baselines")
     import numpy as np
 
-    from single_core_numpy import sir_bpf_loglike
+    from single_core_numpy import (
+        sir_apf_loglike,
+        sir_bpf_loglike,
+        sir_rmpf_loglike,
+    )
 
+    fn = {
+        "bpf": sir_bpf_loglike,
+        "pmmh": sir_bpf_loglike,
+        "apf": sir_apf_loglike,
+        "rmpf": sir_rmpf_loglike,
+    }[config]
     rng = np.random.default_rng(0)
     # warmup sweep
-    sir_bpf_loglike(rng, y, particles, 0.5, 0.2, 500, 70)
-    t0 = time.time()
-    for _ in range(steps):
-        sir_bpf_loglike(rng, y, particles, 0.5, 0.2, 500, 70)
-    elapsed = time.time() - t0
-    return steps / elapsed
+    fn(rng, y, particles, 0.5, 0.2, 500, 70)
+    rates = []
+    for _ in range(reps):
+        t0 = time.time()
+        for _ in range(steps):
+            fn(rng, y, particles, 0.5, 0.2, 500, 70)
+        rates.append(steps / (time.time() - t0))
+    return float(np.median(rates))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--config", default="bpf", choices=CONFIGS)
     ap.add_argument("--chains", type=int, default=4096)
     ap.add_argument("--particles", type=int, default=128)
-    # 16 MH steps per jitted call: amortizes the ~24 ms per-call tunnel
-    # dispatch overhead, matching how production runs execute (the pmmh
-    # driver scans hundreds of steps per chunk). Throughput saturates at
-    # this point (steps=32 measured the same within noise).
-    ap.add_argument("--steps", type=int, default=16)
+    # MH steps per jitted call: amortizes the per-call tunnel dispatch
+    # overhead, matching how production runs execute (the pmmh driver
+    # scans hundreds of steps per chunk). Round-3 profiling found the
+    # per-call overhead is ~constant in K (~290 ms through the tunnel), so
+    # larger K raises measured throughput toward the device-compute bound.
+    ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--calls", type=int, default=2)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--m", type=int, default=64,
+                    help="MH chain length for --config pmmh")
     ap.add_argument(
         "--transition", default="gillespie_pallas",
-        choices=["gillespie", "gillespie_pallas", "tauleap"],
-        help="SIR day-step simulator (gillespie_pallas = fused TPU kernel)",
+        choices=["gillespie", "gillespie_pallas", "tauleap", "sir_sweep"],
+        help="SIR day-step simulator (gillespie_pallas = fused TPU "
+             "kernel; sir_sweep = whole-sweep kernel, pmmh config only)",
     )
-    ap.add_argument("--baseline-steps", type=int, default=6)
+    ap.add_argument("--baseline-steps", type=int, default=20)
+    ap.add_argument("--baseline-reps", type=int, default=3)
     ap.add_argument(
         "--profile", metavar="DIR", default=None,
         help="write a jax.profiler trace of the timed region to DIR",
@@ -151,16 +264,15 @@ def main():
 
     if args.quick:
         args.chains, args.steps, args.calls = 256, 2, 2
-        args.baseline_steps = 2
+        args.baseline_steps, args.baseline_reps = 2, 1
         args.reps = 2
+        args.m = 8
 
     from bayesssm_tpu.models.sir import simulate_sir
 
     _, y = simulate_sir(seed=1405)
 
     if args.profile:
-        import contextlib
-
         import jax
 
         profile_ctx = jax.profiler.trace(args.profile)
@@ -169,20 +281,41 @@ def main():
 
         profile_ctx = contextlib.nullcontext()
 
-    with profile_ctx:
-        value, rates = tpu_samples_per_sec(
-            y, args.chains, args.particles, args.steps, args.calls,
-            args.reps, args.transition,
+    metric = f"pmmh_samples_per_sec_{args.chains}chains_sir"
+    if args.config == "pmmh":
+        with profile_ctx:
+            value, timings, target_n = pmmh_e2e_samples_per_sec(
+                y, args.chains, args.m, args.transition
+            )
+        print(
+            f"pmmh e2e timings: {timings}; target_n "
+            f"min/med/max = {target_n.min()}/"
+            f"{int(np.median(target_n))}/{target_n.max()}",
+            file=sys.stderr,
         )
-    base = baseline_samples_per_sec(y, args.particles, args.baseline_steps)
+        metric += "_pmmh_e2e"
+    else:
+        with profile_ctx:
+            value, rates = tpu_samples_per_sec(
+                y, args.chains, args.particles, args.steps, args.calls,
+                args.reps, args.transition, config=args.config,
+            )
+        print(
+            f"reps (samples/s): {[round(r) for r in rates]}",
+            file=sys.stderr,
+        )
+        if args.config != "bpf":
+            metric += f"_{args.config}"
 
-    print(
-        f"reps (samples/s): {[round(r) for r in rates]}", file=sys.stderr
+    base = baseline_samples_per_sec(
+        y, args.particles, args.baseline_steps, args.baseline_reps,
+        config=args.config,
     )
+
     print(
         json.dumps(
             {
-                "metric": "pmmh_samples_per_sec_4096chains_sir",
+                "metric": metric,
                 "value": round(value, 2),
                 "unit": "samples/s",
                 "vs_baseline": round(value / base, 2),

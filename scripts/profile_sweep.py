@@ -13,6 +13,8 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 from jax import lax
 

@@ -176,3 +176,43 @@ class TestTauLeap:
 
         with pytest.raises(ValueError, match="gillespie"):
             sir_model(transition="exact")
+
+
+def test_sir_apf_and_rmpf_components():
+    # BASELINE.json configs 4-5 model pieces: APF lookahead weights and the
+    # RMPF rejuvenation move, through the real filter front-ends.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bayesssm_tpu.filters.auxiliary import auxiliary_filter
+    from bayesssm_tpu.filters.resample_move import resample_move_filter
+    from bayesssm_tpu.models.sir import (
+        simulate_sir,
+        sir_aux_log_likelihood_fn,
+        sir_model,
+        sir_move_fn,
+    )
+
+    n_total = 200
+    (init_fn, trans_fn, loglik_fn), _, _ = sir_model(
+        n_total=n_total, init_infected=20
+    )
+    _, y = simulate_sir(seed=2, n_total=n_total, init_infected=20, t_max=4)
+    theta = {"lam": 0.5, "gamma": 0.2}
+    apf = auxiliary_filter(
+        jax.random.key(0), y, 64, init_fn, trans_fn, loglik_fn,
+        aux_log_likelihood_fn=sir_aux_log_likelihood_fn, theta=theta,
+        return_particles=False,
+    )
+    assert np.isfinite(float(apf.loglike))
+    rmpf = resample_move_filter(
+        jax.random.key(1), y, 64, init_fn, trans_fn, loglik_fn,
+        move_fn=sir_move_fn(n_total), theta=theta, return_particles=True,
+    )
+    assert np.isfinite(float(rmpf.loglike))
+    # The move keeps the state in the SIR support: integers, S+I <= n.
+    p = np.asarray(rmpf.particles_history)
+    assert (p >= 0).all()
+    assert (p.sum(axis=-1) <= n_total).all()
+    assert np.array_equal(p, np.round(p))
