@@ -196,9 +196,13 @@ def particle_filter_core(
       max_particles: static lane count when ``num_particles`` is traced.
       carry_weights: textbook weight accumulation (see module docstring).
       use_fused: fused Pallas weight+resample path. ``"auto"`` enables it on
-        TPU when the lane count is 128-aligned; ``True``/``False`` force it;
-        ``"interpret"`` forces it through the Pallas interpreter so the fused
-        branches (including APF's aux-column trick) run on CPU in CI.
+        TPU when the lane count is 128-aligned, with stratum positions
+        drawn IN-KERNEL from the on-chip PRNG (fastest; resampling
+        bit-stream differs from the portable path, distribution identical);
+        ``True`` forces the fused path with host-drawn positions (same
+        stream as the portable path); ``False`` disables;
+        ``"interpret"``/``"interpret-inkernel"`` force the respective fused
+        modes through the Pallas interpreter so they run on CPU in CI.
       particle_axis: optional mesh axis name the PARTICLE dimension is
         sharded over. The core must then run inside ``shard_map``;
         ``num_particles``/``max_particles`` stay GLOBAL counts while every
@@ -335,13 +339,21 @@ def particle_filter_core(
     # Fused Pallas weight+resample path (TPU): one VMEM kernel replaces
     # normalize + ESS + cumsum + searchsorted + gather. Gated statically;
     # SIS never resamples so the portable (cheap) path suffices there.
+    # Position modes: "auto" (and "interpret-inkernel") draw the stratum
+    # positions IN-KERNEL from the on-chip PRNG — no per-step host
+    # threefry, no positions operand; True/"interpret" keep the host-drawn
+    # positions so the fused path consumes the exact same stream as the
+    # portable path (the strict same-key parity mode the fused-vs-portable
+    # tests pin).
     from bayesssm_tpu.ops.resampling_pallas import (
         MAX_FUSED_LANES,
         fused_weight_resample,
+        fused_weight_resample_seeded,
         pallas_available,
     )
 
-    fused_interpret = use_fused == "interpret"
+    fused_interpret = use_fused in ("interpret", "interpret-inkernel")
+    inkernel_rng = use_fused in ("auto", "interpret-inkernel")
     if use_fused == "auto":
         fused_enabled = (
             pallas_available()
@@ -350,6 +362,8 @@ def particle_filter_core(
             and resample_algorithm != "SIS"
             and dtype == jnp.float32
         )
+    elif use_fused == "interpret-inkernel":
+        fused_enabled = True
     else:
         fused_enabled = bool(use_fused)
     if sharded:
@@ -415,22 +429,30 @@ def particle_filter_core(
                 # extra state column so the MXU gather carries them to the
                 # selected ancestors (the kernel returns particles only, not
                 # indices). -inf is clamped; masked lanes are never chosen.
-                from bayesssm_tpu.ops.resampling import _positions
-
                 one_dim_p = particles.ndim == 1
                 p2d = particles[:, None] if one_dim_p else particles
                 aux_col = jnp.maximum(aux_lw, jnp.asarray(-1e30, dtype))
                 p_ext = jnp.concatenate([p2d, aux_col[:, None]], axis=-1)
-                pos_aux = _positions(
-                    k_aux, resample_fn, (), n_static,
-                    jnp.asarray(num_particles, dtype), dtype,
-                )
                 safe_aux = jnp.maximum(aux_base, jnp.asarray(-1e30, dtype))
-                p_ext, _, _, _ = fused_weight_resample(
-                    safe_aux, p_ext, pos_aux, uniform_w,
-                    jnp.asarray(0.0, dtype), always_resample=True,
-                    interpret=fused_interpret,
-                )
+                if inkernel_rng:
+                    p_ext, _, _, _ = fused_weight_resample_seeded(
+                        safe_aux, p_ext, k_aux,
+                        jnp.asarray(num_particles, dtype), uniform_w,
+                        jnp.asarray(0.0, dtype), method=resample_fn,
+                        always_resample=True, interpret=fused_interpret,
+                    )
+                else:
+                    from bayesssm_tpu.ops.resampling import _positions
+
+                    pos_aux = _positions(
+                        k_aux, resample_fn, (), n_static,
+                        jnp.asarray(num_particles, dtype), dtype,
+                    )
+                    p_ext, _, _, _ = fused_weight_resample(
+                        safe_aux, p_ext, pos_aux, uniform_w,
+                        jnp.asarray(0.0, dtype), always_resample=True,
+                        interpret=fused_interpret,
+                    )
                 aux_anc = p_ext[:, -1]
                 particles = p_ext[:, 0] if one_dim_p else p_ext[:, :-1]
             elif sharded:
@@ -481,21 +503,30 @@ def particle_filter_core(
 
         if fused_enabled:
             # --- fused Pallas path: normalize + ESS + resample on-chip ---
-            from bayesssm_tpu.ops.resampling import _positions
-
-            pos = _positions(
-                k_res, resample_fn, (), n_static,
-                jnp.asarray(num_particles, dtype), dtype,
-            )
             p2d = particles if particles.ndim == 2 else particles[:, None]
             # Clamp -inf so fully-degenerate slices stay NaN-free (dead
             # chains are zeroed below either way).
             safe_comb = jnp.maximum(combined, jnp.asarray(-1e30, dtype))
             thr_arg = thr if thr is not None else jnp.asarray(0.0, dtype)
-            pout, weights, ess, lse = fused_weight_resample(
-                safe_comb, p2d, pos, uniform_w, thr_arg,
-                always_resample=always_resample, interpret=fused_interpret,
-            )
+            if inkernel_rng:
+                pout, weights, ess, lse = fused_weight_resample_seeded(
+                    safe_comb, p2d, k_res,
+                    jnp.asarray(num_particles, dtype), uniform_w, thr_arg,
+                    method=resample_fn, always_resample=always_resample,
+                    interpret=fused_interpret,
+                )
+            else:
+                from bayesssm_tpu.ops.resampling import _positions
+
+                pos = _positions(
+                    k_res, resample_fn, (), n_static,
+                    jnp.asarray(num_particles, dtype), dtype,
+                )
+                pout, weights, ess, lse = fused_weight_resample(
+                    safe_comb, p2d, pos, uniform_w, thr_arg,
+                    always_resample=always_resample,
+                    interpret=fused_interpret,
+                )
             particles = pout if particles.ndim == 2 else pout[:, 0]
             incr = lse if carry_weights else lse - jnp.log(n_f)
             loglike = jnp.where(dead, neg_inf, loglike + incr)

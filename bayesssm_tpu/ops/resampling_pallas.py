@@ -38,7 +38,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fused_weight_resample", "pallas_available", "MAX_FUSED_LANES"]
+__all__ = [
+    "fused_weight_resample",
+    "fused_weight_resample_seeded",
+    "pallas_available",
+    "MAX_FUSED_LANES",
+]
 
 # The in-kernel selection matrix is [N, N] f32 in VMEM: N=1024 -> 4 MB.
 MAX_FUSED_LANES = 1024
@@ -52,8 +57,8 @@ def pallas_available() -> bool:
         return False
 
 
-def _kernel(lw_ref, pos_ref, uniform_ref, thr_ref, *rest,
-            always_resample: bool, d: int):
+def _kernel(lw_ref, *rest, always_resample: bool, d: int,
+            method: str | None, software_prng: bool):
     """Blocked kernel: each grid program handles B chains at once.
 
     Every ref is 2-D [B, N] (thr/ess/lse are [B, 1]): the d state columns
@@ -61,10 +66,33 @@ def _kernel(lw_ref, pos_ref, uniform_ref, thr_ref, *rest,
     trailing dim of 2-3 forces Mosaic's (8, 128) tiling to pad the minor
     axis and XLA to insert relayout copies + pads at the kernel boundary
     (measured ~23 ms/sweep at [4096 x 128 x 2], ~40% of the whole filter).
-    ``rest`` = d column inputs, then d column outputs, then wout/ess/lse.
+
+    Two position modes:
+      * ``method is None`` — inverse-CDF query positions are an input
+        (``pos_ref``), computed outside with the caller's RNG: the strict
+        same-stream parity mode. ``rest`` = pos, uniform, thr, d column
+        inputs, then outputs.
+      * ``method`` set — positions are drawn IN-KERNEL from the hardware
+        PRNG (software lowbias32 stream under the interpreter), removing
+        the per-step host threefry + operand traffic: the fast mode.
+        ``rest`` = bseed (whole [g, 2], SMEM), sd0, sd1 ([B, 1] int32
+        per-chain seed words), alive ([B, 1] f32), uniform, thr, columns.
+        Block seeding and the per-chain XOR mix follow
+        ops/sir_sweep_pallas.py exactly.
     """
+    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    import numpy as np
+
+    if method is None:
+        pos_ref, uniform_ref, thr_ref = rest[:3]
+        rest = rest[3:]
+    else:
+        bseed_ref, sd0_ref, sd1_ref, alive_ref, uniform_ref, thr_ref = (
+            rest[:6]
+        )
+        rest = rest[6:]
     col_refs = rest[:d]
     pout_refs = rest[d : 2 * d]
     wout_ref, ess_ref, lse_ref = rest[2 * d :]
@@ -104,7 +132,55 @@ def _kernel(lw_ref, pos_ref, uniform_ref, thr_ref, *rest,
     # overlaps (TWO lanes -> doubled masked-sum). Monotone CDF + shared
     # exact edges guarantee exactly one match per position.
     cdf_prev = jnp.where(lane == 0, 0.0, pltpu.roll(cdf, 1, axis=1))
-    pos = pos_ref[:, :]                               # [B, N]
+    if method is None:
+        pos = pos_ref[:, :]                           # [B, N]
+    else:
+        # In-kernel stratum positions (ops/resampling.py::_positions
+        # semantics): hardware PRNG seeded from the block's first chain +
+        # program id, each chain's OWN seed words XOR-mixed into its
+        # lanes' bits (the ops/sir_sweep_pallas.py convention).
+        from bayesssm_tpu.ops.gillespie_pallas import _hash32
+
+        inv24 = np.float32(1.0 / (1 << 24))
+        seed0 = bseed_ref[pl.program_id(0), 0]
+        seed1 = bseed_ref[pl.program_id(0), 1]
+        sd0 = sd0_ref[:, :]                           # [B, 1] int32
+        sd1 = sd1_ref[:, :]
+        rmix = sd0 ^ (sd1 * jnp.int32(-1640531527) + jnp.int32(1))
+        rmix = rmix ^ ((rmix >> 16) & jnp.int32(0x0000FFFF))
+        rmix = rmix * jnp.int32(0x7FEB352D)
+        rmix = rmix ^ ((rmix >> 15) & jnp.int32(0x0001FFFF))
+        rmix = rmix * jnp.int32(-2073254261)          # 0x846CA68B
+        row_mix = jnp.broadcast_to(rmix, (b, n))
+        if software_prng:
+            pid = jax.lax.convert_element_type(pl.program_id(0), jnp.uint32)
+            s0w = jax.lax.convert_element_type(seed0, jnp.uint32)
+            s1w = jax.lax.convert_element_type(seed1, jnp.uint32)
+            base = _hash32(s0w ^ _hash32(s1w ^ _hash32(pid)))
+            lane_id = jax.lax.convert_element_type(lane, jnp.uint32)
+            rm = jax.lax.convert_element_type(row_mix, jnp.uint32)
+            bits = _hash32(
+                (base + lane_id * jnp.uint32(0x9E3779B9)) ^ rm
+            )
+            u24 = (bits >> jnp.uint32(8)).astype(jnp.int32)
+        else:
+            pid = pl.program_id(0)
+            s0_mix = seed0 ^ (pid * jnp.int32(-1640531527) + jnp.int32(1))
+            pltpu.prng_seed(s0_mix, seed1)
+            raw = pltpu.prng_random_bits((b, n))
+            u24 = ((raw ^ row_mix) >> 8) & jnp.int32(0x00FFFFFF)
+        u = u24.astype(jnp.float32) * inv24
+        lane_f = lane.astype(jnp.float32)
+        alive_ct = alive_ref[:, :]                    # [B, 1] f32
+        if method == "stratified":
+            pos = (lane_f + u) / alive_ct
+        elif method == "systematic":
+            u0 = jnp.max(jnp.where(lane == 0, u, 0.0), axis=-1,
+                         keepdims=True)
+            pos = (lane_f + u0) / alive_ct
+        else:  # multinomial
+            pos = u
+        pos = jnp.where(lane_f < alive_ct, pos, 1.0)
     # Selection matrix per chain: output slot j takes the first ancestor i
     # whose CDF segment contains pos_j. Extending the last ALIVE lane's
     # segment to [cdf_prev, +inf) subsumes the overshoot clamp for
@@ -168,7 +244,8 @@ def _chains_per_program(c: int, n: int) -> int:
     return 1 << (b.bit_length() - 1)
 
 
-def _batched_call(lw, particles, pos, uniform, thr, always_resample, interpret):
+def _batched_call(lw, particles, pos, uniform, thr, always_resample,
+                  interpret, seeds=None, num_alive=None, method=None):
     """Gridded kernel over chain blocks. Shapes: lw/pos/uniform [C, N],
     particles [C, N, d], thr [C]. Returns (pout, wout, ess, lse).
 
@@ -177,6 +254,10 @@ def _batched_call(lw, particles, pos, uniform, thr, always_resample, interpret):
     the TPU's (8, 128) tile exactly, so the (g, b, n) block reshape is a
     free contiguous view and XLA inserts no relayout copies (a [C, N, 2]
     operand cost ~23 ms/sweep in copies+pads at the benchmark shape).
+
+    ``method`` set switches to in-kernel position drawing: ``pos`` is
+    ignored and ``seeds`` [C, 2] int32 / ``num_alive`` [C] supply the RNG
+    and the masked-lane semantics instead.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -193,11 +274,20 @@ def _batched_call(lw, particles, pos, uniform, thr, always_resample, interpret):
         def padc(x):
             return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
 
-        lw, pos, uniform, thr = map(padc, (lw, pos, uniform, thr))
+        lw, uniform, thr = map(padc, (lw, uniform, thr))
         cols = [padc(x) for x in cols]
+        if method is None:
+            pos = padc(pos)
+        else:
+            seeds = padc(seeds)
+            num_alive = jnp.pad(num_alive, (0, pad), constant_values=1.0)
 
-    kernel = functools.partial(_kernel, always_resample=always_resample, d=d)
+    kernel = functools.partial(
+        _kernel, always_resample=always_resample, d=d, method=method,
+        software_prng=bool(interpret),
+    )
     space = pl.ANY if interpret else pltpu.VMEM
+    smem = pl.ANY if interpret else pltpu.SMEM
 
     def spec(*dims):
         # Leading None = grid-mapped chain-block dim; the remaining dims
@@ -207,6 +297,24 @@ def _batched_call(lw, particles, pos, uniform, thr, always_resample, interpret):
             (None,) + dims, lambda i: (i,) + (0,) * len(dims),
             memory_space=space,
         )
+
+    if method is None:
+        mode_specs = [spec(b, n)]
+        mode_args = [pos.astype(dtype).reshape(g, b, n)]
+    else:
+        # Block seeds ride along whole in SMEM (a grid-blocked (None, 2)
+        # spec breaks Mosaic's divisibility rule); per-chain seed words
+        # and alive counts are regular [B, 1] blocks.
+        mode_specs = [
+            pl.BlockSpec((g, 2), lambda i: (0, 0), memory_space=smem),
+            spec(b, 1), spec(b, 1), spec(b, 1),
+        ]
+        mode_args = [
+            seeds.reshape(g, b, 2)[:, 0, :],
+            seeds[:, 0].reshape(g, b, 1),
+            seeds[:, 1].reshape(g, b, 1),
+            num_alive.astype(dtype).reshape(g, b, 1),
+        ]
 
     out = pl.pallas_call(
         kernel,
@@ -218,13 +326,13 @@ def _batched_call(lw, particles, pos, uniform, thr, always_resample, interpret):
             jax.ShapeDtypeStruct((g, b, 1), dtype),
             jax.ShapeDtypeStruct((g, b, 1), dtype),
         ),
-        in_specs=[spec(b, n), spec(b, n), spec(b, n), spec(b, 1)]
+        in_specs=[spec(b, n)] + mode_specs + [spec(b, n), spec(b, 1)]
         + [spec(b, n)] * d,
         out_specs=tuple([spec(b, n)] * (d + 1)) + (spec(b, 1), spec(b, 1)),
         interpret=interpret,
     )(
         lw.astype(dtype).reshape(g, b, n),
-        pos.astype(dtype).reshape(g, b, n),
+        *mode_args,
         uniform.astype(dtype).reshape(g, b, n),
         thr.astype(dtype).reshape(g, b, 1),
         *[x.reshape(g, b, n) for x in cols],
@@ -270,6 +378,39 @@ def _make_op(always_resample: bool, interpret: bool):
     return op
 
 
+@functools.lru_cache(maxsize=None)
+def _make_seeded_op(method: str, always_resample: bool, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def op(lw, particles, seeds, num_alive, uniform, thr):
+        pout, wout, ess, lse = _batched_call(
+            lw[None], particles[None], None, uniform[None], thr[None],
+            always_resample, interpret, seeds=seeds[None],
+            num_alive=num_alive[None], method=method,
+        )
+        return pout[0], wout[0], ess[0], lse[0]
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, lw, particles, seeds, num_alive,
+              uniform, thr):
+        def ensure(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape
+            )
+
+        lw_b, p_b, sd_b, na_b, u_b, thr_b = (
+            ensure(x, b) for x, b in zip(
+                (lw, particles, seeds, num_alive, uniform, thr), in_batched
+            )
+        )
+        out = _batched_call(
+            lw_b, p_b, None, u_b, thr_b, always_resample, interpret,
+            seeds=sd_b, num_alive=na_b, method=method,
+        )
+        return out, (True, True, True, True)
+
+    return op
+
+
 def fused_weight_resample(
     log_weights,          # [N]
     particles,            # [N, d]
@@ -288,3 +429,36 @@ def fused_weight_resample(
     op = _make_op(bool(always_resample), bool(interpret))
     thr = jnp.asarray(threshold, particles.dtype).reshape(())
     return op(log_weights, particles, positions, uniform_w, thr)
+
+
+def fused_weight_resample_seeded(
+    log_weights,          # [N]
+    particles,            # [N, d]
+    key,                  # PRNG key: the kernel draws positions itself
+    num_alive,            # scalar count of live lanes (masked semantics)
+    uniform_w,            # [N] post-resample weights (masked-lane aware)
+    threshold,            # scalar ESS threshold (ignored if always_resample)
+    method: str = "stratified",
+    always_resample: bool = False,
+    interpret: bool = False,
+):
+    """Fused weight step with IN-KERNEL stratum positions (vmap-aware).
+
+    Same contract as ``fused_weight_resample`` but the inverse-CDF query
+    positions are drawn inside the kernel from the hardware PRNG
+    (counter-based lowbias32 under the interpreter) with
+    ``ops/resampling.py::_positions`` semantics — stratified
+    ``(j + U_j)/alive``, systematic shared offset, multinomial iid, dead
+    lanes pinned to 1.0. Removes the per-step host threefry draw and the
+    [C, N] positions operand from the hot loop; the sampled ancestor
+    DISTRIBUTION is identical, the bit-stream differs (like every
+    RNG-bearing fast path, parity is distributional).
+    """
+    if method not in ("stratified", "systematic", "multinomial"):
+        raise ValueError(f"unknown resampling method {method!r}")
+    op = _make_seeded_op(method, bool(always_resample), bool(interpret))
+    kd = jnp.ravel(jax.random.key_data(key))[:2]
+    seeds = jax.lax.bitcast_convert_type(kd.astype(jnp.uint32), jnp.int32)
+    thr = jnp.asarray(threshold, particles.dtype).reshape(())
+    alive = jnp.asarray(num_alive, particles.dtype).reshape(())
+    return op(log_weights, particles, seeds, alive, uniform_w, thr)

@@ -163,3 +163,82 @@ class TestFusedEquivalence:
     def test_carry_weights_bpf(self, ys):
         fused, portable = run_pair(ys, carry_weights=True, **BPF_KW)
         assert_equivalent(fused, portable)
+
+
+class TestInKernelPositions:
+    """The "auto"/"interpret-inkernel" mode draws stratum positions inside
+    the kernel (no host threefry in the hot loop). The bit-stream differs
+    from the portable path, so parity is distributional + structural."""
+
+    def test_deterministic_per_key(self, ys):
+        key = jax.random.key(9)
+        r1 = particle_filter_core(
+            key, ys, N, use_fused="interpret-inkernel", **BPF_KW
+        )
+        r2 = particle_filter_core(
+            key, ys, N, use_fused="interpret-inkernel", **BPF_KW
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r1.loglike), np.asarray(r2.loglike)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r1.state_est), np.asarray(r2.state_est)
+        )
+
+    def test_distributional_match_vs_portable(self, ys):
+        # Mean log-likelihood over independent chains agrees with the
+        # portable path within Monte-Carlo error (unbiased estimator on
+        # both paths).
+        keys = jax.random.split(jax.random.key(0), 48)
+
+        def batch(use_fused):
+            return jax.vmap(
+                lambda k: particle_filter_core(
+                    k, ys, N, use_fused=use_fused,
+                    return_particles=False, **BPF_KW
+                ).loglike
+            )(keys)
+
+        ll_seeded = np.asarray(batch("interpret-inkernel"))
+        ll_port = np.asarray(batch(False))
+        assert np.isfinite(ll_seeded).all()
+        se = ll_port.std() / np.sqrt(len(keys))
+        assert abs(ll_seeded.mean() - ll_port.mean()) < 5 * se + 0.5
+
+    def test_masked_lanes_never_selected(self, ys):
+        # Ancestors must come from the alive range only; the in-kernel
+        # positions must reproduce the dead-lane pin-to-1.0 semantics.
+        alive = 96
+
+        def init_tagged(key, num_particles):
+            return jnp.arange(num_particles, dtype=jnp.float32)
+
+        def trans_id(key, particles, t):
+            return particles
+
+        def loglik_flat(y, particles, t):
+            return jnp.zeros_like(particles)
+
+        res = particle_filter_core(
+            jax.random.key(4), ys[:3], jnp.asarray(alive),
+            init_tagged, trans_id, loglik_flat,
+            max_particles=N, use_fused="interpret-inkernel",
+            resample_algorithm="SISR",
+        )
+        hist = np.asarray(res.particles_history)
+        w = np.asarray(res.weights_history)
+        # every particle with positive weight is a tag < alive
+        assert (hist[w > 0] < alive).all()
+
+    def test_chains_decorrelated(self, ys):
+        # Two different keys must produce different resampling streams
+        # (per-chain seed words are XOR-mixed into the kernel's bits).
+        r1 = particle_filter_core(
+            jax.random.key(1), ys, N, use_fused="interpret-inkernel",
+            **BPF_KW
+        )
+        r2 = particle_filter_core(
+            jax.random.key(2), ys, N, use_fused="interpret-inkernel",
+            **BPF_KW
+        )
+        assert float(r1.loglike) != float(r2.loglike)

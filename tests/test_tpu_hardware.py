@@ -104,3 +104,51 @@ def test_fused_filter_matches_portable_on_device():
             np.asarray(f.state_est), np.asarray(p.state_est),
             rtol=1e-4, atol=5e-4,
         )
+
+
+def test_inkernel_positions_on_device():
+    # The seeded fused kernel ("auto" mode) draws stratum positions from
+    # the HARDWARE PRNG — the interpreter covers the logic with a software
+    # stream, so the signed-int32-bits handling and per-chain XOR mix must
+    # be certified on device: finite loglikes, determinism per key, chain
+    # decorrelation, and distributional agreement with the portable path.
+    from bayesssm_tpu.filters.core import particle_filter_core
+
+    A, C, SX, SY = 0.9, 1.0, 0.6, 0.4
+
+    def init(key, num_particles):
+        return jax.random.normal(key, (num_particles,))
+
+    def trans(key, particles, t):
+        return A * particles + SX * jax.random.normal(key, particles.shape)
+
+    def ll(y, particles, t):
+        return -0.5 * (jnp.log(2 * jnp.pi * SY**2)
+                       + ((y - C * particles) / SY) ** 2)
+
+    rng = np.random.default_rng(7)
+    x = rng.normal()
+    ys = []
+    for _ in range(10):
+        x = A * x + SX * rng.normal()
+        ys.append(C * x + SY * rng.normal())
+    ys = np.asarray(ys, np.float32)
+    kw = dict(init_fn=init, transition_fn=trans, weight_fn=ll,
+              return_particles=False)
+
+    keys = jax.random.split(jax.random.key(0), 64)
+
+    def batch(use_fused):
+        return jax.jit(jax.vmap(
+            lambda k: particle_filter_core(
+                k, ys, 128, use_fused=use_fused, **kw
+            ).loglike
+        ))(keys)
+
+    ll_seeded = np.asarray(batch("auto"))
+    ll_port = np.asarray(batch(False))
+    assert np.isfinite(ll_seeded).all()
+    assert len(np.unique(ll_seeded)) > 32  # chains decorrelated
+    np.testing.assert_array_equal(np.asarray(batch("auto")), ll_seeded)
+    se = ll_port.std() / np.sqrt(len(keys))
+    assert abs(ll_seeded.mean() - ll_port.mean()) < 5 * se + 0.5
