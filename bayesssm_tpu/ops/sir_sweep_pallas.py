@@ -53,13 +53,19 @@ __all__ = ["sir_bpf_sweep"]
 
 # Chains per grid program: bounded by the [B, N, N] selection-matrix
 # intermediates in VMEM (same budget logic as ops/resampling_pallas.py).
-_SELECTION_VMEM_BUDGET = 2 * 1024 * 1024
+# Round-3 attribution (scripts/profile_sweep_boundary.py): the Gillespie
+# while_loop is iteration-latency-bound, so FEWER/LARGER blocks win — the
+# full sweep measured 14.5 ms/step at B=32 (2 MB) vs 11.5 ms at B=128
+# (8 MB); the selection intermediates stream through VMEM one at a time,
+# so the larger budget compiles and runs within the 16 MB limit.
+_SELECTION_VMEM_BUDGET = 8 * 1024 * 1024
 # S/I packing base: both counts are integers <= n_total <= _PACK - 2, so
 # v = S*_PACK + I < 2^24 is exact in f32 and v/_PACK is an exact exponent
 # shift (power of two), making floor-unpack exact.
 _PACK = 4096.0
-# Profiling hook (scripts/profile_sweep.py): phases to stub out when
-# attributing in-kernel cost. Never set outside profiling runs.
+# Profiling hook (scripts/profile_sweep_boundary.py): phases to stub out
+# when attributing in-kernel cost ("gillespie", "resample", "writes",
+# "stack"). Never set outside profiling runs.
 _DEBUG_SKIP: tuple = ()
 
 
@@ -84,10 +90,10 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
 
     def kernel(seed_ref, y_ref, lgy_ref, sd0_ref, sd1_ref, lam_ref, gam_ref,
                alive_ref, thr_ref, s0_ref, i0_ref, ll_ref, ses_ref, sei_ref):
-        lam = lam_ref[:, :]                               # [B, 1]
+        lam = lam_ref[:, :]                               # [B, N] broadcast
         gam = gam_ref[:, :]
-        alive_ct = alive_ref[:, :]                        # [B, 1] f32
-        thr = thr_ref[:, :]
+        alive_ct = alive_ref[:, 0:1]                      # [B, 1] f32
+        thr = thr_ref[:, 0:1]
         b = lam.shape[0]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
@@ -159,8 +165,12 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
         ctr = jnp.int32(0)
 
         # t = 0: uniform weights over identical initial particles (Q4/Q5).
-        ses_ref[:, 0:1] = s0_ref[:, :]
-        sei_ref[:, 0:1] = i0_ref[:, :]
+        if "writes" in _DEBUG_SKIP:  # profiling: one whole-array write
+            ses_ref[:, :] = jnp.zeros((b, ses_ref.shape[1]), jnp.float32)
+            sei_ref[:, :] = jnp.zeros((b, sei_ref.shape[1]), jnp.float32)
+        else:
+            ses_ref[:, 0:1] = s0_ref[:, 0:1]
+            sei_ref[:, 0:1] = i0_ref[:, 0:1]
 
         for t in range(num_obs):
             # ---- exact Gillespie day step (while_loop, unrolled draws) ----
@@ -237,12 +247,13 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
             pos = jnp.where(alive_mask, pos, 1.0)
 
             if "resample" in _DEBUG_SKIP:  # profiling stub: no selection
-                ses_ref[:, t + 1:t + 2] = jnp.sum(
-                    w * s, axis=-1, keepdims=True
-                )
-                sei_ref[:, t + 1:t + 2] = jnp.sum(
-                    w * i, axis=-1, keepdims=True
-                )
+                if "writes" not in _DEBUG_SKIP:
+                    ses_ref[:, t + 1:t + 2] = jnp.sum(
+                        w * s, axis=-1, keepdims=True
+                    )
+                    sei_ref[:, t + 1:t + 2] = jnp.sum(
+                        w * i, axis=-1, keepdims=True
+                    )
                 continue
 
             # ---- CDF (Hillis-Steele) + selection-matrix resample ----
@@ -303,8 +314,9 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
             live_f = 1.0 - dead
             est_s = jnp.sum(est_w * s, axis=-1, keepdims=True) * live_f
             est_i = jnp.sum(est_w * i, axis=-1, keepdims=True) * live_f
-            ses_ref[:, t + 1:t + 2] = est_s
-            sei_ref[:, t + 1:t + 2] = est_i
+            if "writes" not in _DEBUG_SKIP:
+                ses_ref[:, t + 1:t + 2] = est_s
+                sei_ref[:, t + 1:t + 2] = est_i
 
         ll_ref[:, :] = jnp.where(dead > 0.0, -jnp.inf, loglike)
 
@@ -355,7 +367,20 @@ def _batched_call(seeds, lam, gam, alive, thr, s0, i0, y, lgy, *,
             shape, lambda idx: (0,) * len(shape), memory_space=smem
         )
 
-    col = lambda x: x.reshape(g, b, 1).astype(jnp.float32)  # noqa: E731
+    # Per-chain scalars enter as FULL [B, N] broadcasts, not [B, 1]
+    # operands: Mosaic re-broadcasts a 1-lane vector on every use inside
+    # the event while_loop, which measured ~2 ms/step at the bench shape
+    # (scripts/profile_sweep_boundary.py); the XLA-side broadcast is a
+    # cheap lane-replicating copy paid once per call.
+    def col(x):
+        return jnp.broadcast_to(
+            x.astype(jnp.float32)[:, None], (g * b, n)
+        ).reshape(g, b, n)
+
+    def scol(x):
+        return jnp.broadcast_to(x[:, None], (g * b, n)).reshape(g, b, n)
+
+    sdim = (b, n)
 
     ll, ses, sei = pl.pallas_call(
         kernel,
@@ -369,9 +394,9 @@ def _batched_call(seeds, lam, gam, alive, thr, s0, i0, y, lgy, *,
             whole((g, 2)),                  # per-program seeds
             whole((num_obs,)),              # y
             whole((num_obs,)),              # lgamma(y + 1)
-            spec(b, 1), spec(b, 1),         # per-CHAIN seed words (int32)
-            spec(b, 1), spec(b, 1), spec(b, 1), spec(b, 1),
-            spec(b, 1), spec(b, 1),
+            spec(*sdim), spec(*sdim),       # per-CHAIN seed words (int32)
+            spec(*sdim), spec(*sdim), spec(*sdim), spec(*sdim),
+            spec(*sdim), spec(*sdim),
         ],
         out_specs=(spec(b, 1), spec(b, t1), spec(b, t1)),
         interpret=interpret,
@@ -379,13 +404,15 @@ def _batched_call(seeds, lam, gam, alive, thr, s0, i0, y, lgy, *,
         seeds.reshape(g, b, 2)[:, 0, :],
         y.astype(jnp.float32),
         lgy.astype(jnp.float32),
-        seeds[:, 0].reshape(g, b, 1),
-        seeds[:, 1].reshape(g, b, 1),
+        scol(seeds[:, 0]),
+        scol(seeds[:, 1]),
         col(lam), col(gam), col(alive), col(thr), col(s0), col(i0),
     )
     ll = ll.reshape(g * b)[:c]
     ses = ses.reshape(g * b, t1)[:c]
     sei = sei.reshape(g * b, t1)[:c]
+    if "stack" in _DEBUG_SKIP:  # profiling: skip the [C, T+1, 2] relayout
+        return ll, ses
     return ll, jnp.stack([ses, sei], axis=-1)
 
 

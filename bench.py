@@ -53,6 +53,29 @@ def _build_pf_loglike(config, ys, particles, transition):
         sir_move_fn,
     )
 
+    # The whole-sweep fused kernel implements BPF only; APF/RMPF fall
+    # back to the per-day gillespie_pallas + fused-resample path.
+    if transition == "sir_sweep" and config in ("bpf", "pmmh"):
+        from bayesssm_tpu.ops.sir_sweep_pallas import sir_bpf_sweep
+
+        _, log_priors, _ = sir_model(n_total=500, init_infected=70)
+        param_names = list(log_priors)
+        prior_fns = [log_priors[p] for p in param_names]
+        j_lam = param_names.index("lam")
+        j_gam = param_names.index("gamma")
+        ys_sweep = jnp.asarray(ys, dtype=jnp.float32)
+
+        def pf_loglike(key, theta_vec):
+            ll, _ = sir_bpf_sweep(
+                key, ys_sweep, particles, theta_vec[j_lam],
+                theta_vec[j_gam], 500, 70,
+            )
+            return ll
+
+        return pf_loglike, prior_fns
+
+    if transition == "sir_sweep":
+        transition = "gillespie_pallas"
     (init_fn, transition_fn, loglik_fn), log_priors, _ = sir_model(
         n_total=500, init_infected=70, transition=transition
     )
@@ -249,10 +272,11 @@ def main():
     ap.add_argument("--m", type=int, default=64,
                     help="MH chain length for --config pmmh")
     ap.add_argument(
-        "--transition", default="gillespie_pallas",
+        "--transition", default="sir_sweep",
         choices=["gillespie", "gillespie_pallas", "tauleap", "sir_sweep"],
-        help="SIR day-step simulator (gillespie_pallas = fused TPU "
-             "kernel; sir_sweep = whole-sweep kernel, pmmh config only)",
+        help="SIR filter path (sir_sweep = whole-sweep fused kernel, the "
+             "fast default for bpf/pmmh; gillespie_pallas = per-day "
+             "kernel pair; apf/rmpf always use a per-day path)",
     )
     ap.add_argument("--baseline-steps", type=int, default=20)
     ap.add_argument("--baseline-reps", type=int, default=3)
