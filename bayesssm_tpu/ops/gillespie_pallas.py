@@ -100,7 +100,7 @@ def _kernel(seed_ref, s_ref, i_ref, lam_ref, gam_ref, sout_ref, iout_ref,
         s0_mix = seed0 ^ (pid * jnp.int32(-1640531527) + jnp.int32(1))
         pltpu.prng_seed(s0_mix, seed1)
         lane_mix = None
-    lam = lam_ref[:, :]                               # [B, 1]
+    lam = lam_ref[:, :]                               # [B, N] broadcast
     gam = gam_ref[:, :]
     t = jnp.zeros_like(s)
     # The active mask is carried as f32 (1.0/0.0): Mosaic fails to legalize
@@ -194,6 +194,15 @@ def _batched_call(seeds, s, i, lam, gam, n_total, t_end, unroll, interpret):
         (g, 2), lambda idx: (0, 0), memory_space=smem
     )
 
+    # Rates enter as FULL [B, N] broadcasts: Mosaic re-broadcasts a [B, 1]
+    # vector on every event-loop iteration (measured ~2 ms/step on the
+    # whole-sweep kernel, scripts/profile_sweep_boundary.py); the XLA-side
+    # lane-replicating copy is paid once per call.
+    def wide(x):
+        return jnp.broadcast_to(
+            x.astype(s.dtype)[:, None], (g * b, n)
+        ).reshape(g, b, n)
+
     sout, iout = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -203,7 +212,7 @@ def _batched_call(seeds, s, i, lam, gam, n_total, t_end, unroll, interpret):
         ),
         in_specs=[
             seed_spec,                           # block seeds (first chains)
-            spec(b, n), spec(b, n), spec(b, 1), spec(b, 1),
+            spec(b, n), spec(b, n), spec(b, n), spec(b, n),
         ],
         out_specs=(spec(b, n), spec(b, n)),
         interpret=interpret,
@@ -211,8 +220,8 @@ def _batched_call(seeds, s, i, lam, gam, n_total, t_end, unroll, interpret):
         seeds.reshape(g, b, 2)[:, 0, :],
         s.reshape(g, b, n),
         i.reshape(g, b, n),
-        lam.reshape(g, b, 1).astype(s.dtype),
-        gam.reshape(g, b, 1).astype(s.dtype),
+        wide(lam),
+        wide(gam),
     )
     return sout.reshape(g * b, n)[:c], iout.reshape(g * b, n)[:c]
 

@@ -255,6 +255,18 @@ def baseline_samples_per_sec(y, particles, steps, reps, config="bpf"):
     return float(np.median(rates))
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the axon remote-compile service has
+    high variance (minutes per program on bad days); caching makes repeat
+    bench invocations start timing immediately."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -291,6 +303,8 @@ def main():
         args.baseline_steps, args.baseline_reps = 2, 1
         args.reps = 2
         args.m = 8
+
+    _enable_compile_cache()
 
     from bayesssm_tpu.models.sir import simulate_sir
 
