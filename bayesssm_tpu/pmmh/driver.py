@@ -271,28 +271,38 @@ def pmmh(
         chain_keys = jax.device_put(chain_keys, chain_sharding)
         theta0 = jax.device_put(jnp.asarray(theta0), chain_sharding)
         ps = int(dict(mesh.shape).get(particle_axis, 1))
-        if ps > 1:
-            if pf_impl is not None:
-                raise ValueError(
-                    "pf_impl evaluators are single-shard; use a mesh whose "
-                    f"'{particle_axis}' axis has size 1"
-                )
-            if num_chains % int(dict(mesh.shape)[chain_axis]):
-                raise ValueError(
-                    "num_chains must be divisible by the mesh chains axis "
-                    "when the particle axis is sharded"
-                )
+        if ps > 1 and pf_impl is not None:
+            raise ValueError(
+                "pf_impl evaluators are single-shard; use a mesh whose "
+                f"'{particle_axis}' axis has size 1"
+            )
+
+    # Phases run inside shard_map when (a) the particle axis is sharded
+    # (the filter core then completes its reductions collectively), or
+    # (b) a pf_impl kernel evaluator is combined with a mesh — Pallas
+    # kernels have no SPMD partitioning rules, so only manual sharding
+    # keeps each shard's kernel local to its devices (XLA would otherwise
+    # gather the chains axis onto one device).
+    use_shard_map = mesh is not None and (ps > 1 or pf_impl is not None)
+    if use_shard_map and num_chains % int(dict(mesh.shape)[chain_axis]):
+        raise ValueError(
+            "num_chains must be divisible by the mesh chains axis when "
+            "the particle axis is sharded or a pf_impl is used with a mesh"
+        )
 
     if ps > 1:
         import functools as _ft
-
-        from jax import shard_map as _shard_map
 
         pf_factory = _ft.partial(
             _make_pf_loglike,
             particle_axis=particle_axis,
             particle_axis_size=ps,
         )
+    else:
+        pf_factory = pf_impl or _make_pf_loglike
+
+    if use_shard_map:
+        from jax import shard_map as _shard_map
 
         def _wrap_phase(fn, n_in):
             return jax.jit(
@@ -305,8 +315,6 @@ def pmmh(
                 )
             )
     else:
-        pf_factory = pf_impl or _make_pf_loglike
-
         def _wrap_phase(fn, n_in):
             return jax.jit(fn)
 

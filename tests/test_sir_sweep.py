@@ -176,3 +176,31 @@ def test_validation_errors(ys):
     with pytest.raises(ValueError, match="resample_fn"):
         sir_bpf_sweep(jax.random.key(0), ys, N, LAM, GAM, N_TOTAL, I0,
                       resample_fn="bogus", interpret=True)
+
+
+def test_pmmh_pf_impl_with_chain_mesh(ys):
+    # pf_impl + mesh: phases must run inside shard_map (Pallas kernels have
+    # no SPMD partitioning rules), keeping each shard's kernel local.
+    import warnings
+
+    from bayesssm_tpu.models.sir import sir_model, sir_sweep_pf_impl
+    from bayesssm_tpu.parallel.mesh import make_chain_mesh
+    from bayesssm_tpu.pmmh.driver import pmmh
+    from bayesssm_tpu.pmmh.tuning import default_tune_control
+
+    fns, log_priors, transform = sir_model(n_total=N_TOTAL, init_infected=I0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = pmmh(
+            "bootstrap_filter", ys, 8, fns[0], fns[1], fns[2], log_priors,
+            pilot_init_params={"lam": 0.5, "gamma": 0.2}, burn_in=2,
+            num_chains=8, seed=2, param_transform=transform,
+            tune_control=default_tune_control(
+                pilot_m=10, pilot_burn_in=2, pilot_reps=2
+            ),
+            mesh=make_chain_mesh(8), print_summary=False,
+            pf_impl=sir_sweep_pf_impl(N_TOTAL, I0, interpret=True),
+        )
+    for p, chain in out.theta_chain.items():
+        assert chain.shape == (8, 6), (p, chain.shape)
+        assert np.isfinite(chain).all(), p
