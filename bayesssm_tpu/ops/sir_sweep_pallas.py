@@ -165,13 +165,20 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
         dead = jnp.zeros((b, 1), jnp.float32)
         ctr = jnp.int32(0)
 
+        # Estimate columns accumulate in vector registers and are written
+        # ONCE after the day loop: a dynamic-lane-index vector store
+        # (ses_ref[:, pl.ds(t + 1, 1)]) inside fori_loop fails Mosaic
+        # lowering on hardware (tpu.vector_store with a traced minor
+        # index); the iota-mask merge below is a handful of lanes per day.
+        t1 = ses_ref.shape[1]
+        est_col = jax.lax.broadcasted_iota(jnp.int32, (b, t1), 1)
         # t = 0: uniform weights over identical initial particles (Q4/Q5).
-        if "writes" in _DEBUG_SKIP:  # profiling: one whole-array write
-            ses_ref[:, :] = jnp.zeros((b, ses_ref.shape[1]), jnp.float32)
-            sei_ref[:, :] = jnp.zeros((b, sei_ref.shape[1]), jnp.float32)
-        else:
-            ses_ref[:, 0:1] = s0_ref[:, 0:1]
-            sei_ref[:, 0:1] = i0_ref[:, 0:1]
+        ses_acc = jnp.where(
+            est_col == 0, jnp.broadcast_to(s0_ref[:, 0:1], (b, t1)), 0.0
+        )
+        sei_acc = jnp.where(
+            est_col == 0, jnp.broadcast_to(i0_ref[:, 0:1], (b, t1)), 0.0
+        )
 
         # The day recursion is a fori_loop, not a python unroll: ten
         # copies of the selection block made Mosaic compilation take
@@ -179,7 +186,8 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
         # code with identical semantics (t-dependent scalar reads from
         # SMEM, pl.ds column stores).
         def day(t, carry):
-            s, i, loglike, dead, ctr = carry
+            s, i, loglike, dead, ctr, ses_acc, sei_acc = carry
+            est_mask = est_col == t + 1                       # [B, T+1]
             # ---- exact Gillespie day step (while_loop, unrolled draws) ----
             tloc = jnp.zeros((b, n), jnp.float32)
             active = (i > 0.0).astype(jnp.float32)
@@ -255,13 +263,15 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
 
             if "resample" in _DEBUG_SKIP:  # profiling stub: no selection
                 if "writes" not in _DEBUG_SKIP:
-                    ses_ref[:, pl.ds(t + 1, 1)] = jnp.sum(
-                        w * s, axis=-1, keepdims=True
+                    ses_acc = jnp.where(
+                        est_mask,
+                        jnp.sum(w * s, axis=-1, keepdims=True), ses_acc,
                     )
-                    sei_ref[:, pl.ds(t + 1, 1)] = jnp.sum(
-                        w * i, axis=-1, keepdims=True
+                    sei_acc = jnp.where(
+                        est_mask,
+                        jnp.sum(w * i, axis=-1, keepdims=True), sei_acc,
                     )
-                return s, i, loglike, dead, ctr
+                return s, i, loglike, dead, ctr, ses_acc, sei_acc
 
             # ---- CDF (Hillis-Steele) + selection-matrix resample ----
             cdf = w
@@ -322,14 +332,16 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
             est_s = jnp.sum(est_w * s, axis=-1, keepdims=True) * live_f
             est_i = jnp.sum(est_w * i, axis=-1, keepdims=True) * live_f
             if "writes" not in _DEBUG_SKIP:
-                ses_ref[:, pl.ds(t + 1, 1)] = est_s
-                sei_ref[:, pl.ds(t + 1, 1)] = est_i
-            return s, i, loglike, dead, ctr
+                ses_acc = jnp.where(est_mask, est_s, ses_acc)
+                sei_acc = jnp.where(est_mask, est_i, sei_acc)
+            return s, i, loglike, dead, ctr, ses_acc, sei_acc
 
-        s, i, loglike, dead, ctr = jax.lax.fori_loop(
-            0, num_obs, day, (s, i, loglike, dead, ctr)
+        s, i, loglike, dead, ctr, ses_acc, sei_acc = jax.lax.fori_loop(
+            0, num_obs, day, (s, i, loglike, dead, ctr, ses_acc, sei_acc)
         )
         ll_ref[:, :] = jnp.where(dead > 0.0, -jnp.inf, loglike)
+        ses_ref[:, :] = ses_acc
+        sei_ref[:, :] = sei_acc
 
     return kernel
 
