@@ -289,27 +289,41 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
                 rolled = pltpu.roll(cdf, shift, axis=1)
                 cdf = jnp.maximum(cdf, jnp.where(lane >= shift, rolled, 0.0))
                 shift *= 2
-            # Bucket lower edges come from the SCAN ITSELF (roll by one), not
-            # cdf - w: an f32 recomputation differs from cdf_{i-1} by ~1 ULP
-            # on ~half the lanes, leaving gaps (a position matches NO lane ->
-            # fabricated zero particle) and overlaps (TWO lanes -> two packed
-            # values sum to an invalid state). Monotone CDF + shared exact
-            # edges guarantee exactly one match per position.
-            cdf_prev = jnp.where(lane == 0, 0.0, pltpu.roll(cdf, 1, axis=1))
+            # Telescoped inverse-CDF selection: the matched lane is
+            # m_k = #{j : cdf_j <= pos_k} (monotone running-max CDF =>
+            # exactly one bucket), and
+            #   v_res_k = v_0 + sum_j [cdf_j <= pos_k] * (v_{j+1} - v_j)
+            # telescopes to v_{m_k}. One compare + select + add per
+            # [B, N, N] element and one fewer N^2 operand stream than the
+            # two-edge bucket match (pos >= prev & pos < cdf) it replaces
+            # — measured ~0.85x step time at the bench shape. Exact in
+            # f32: every reduction subtree spans contiguous lanes, and a
+            # prefix-masked contiguous sum of dv telescopes to a
+            # difference of two packed values < 2^24.
             # Overshoot clamp: cumsum rounding can leave cdf[last_alive]
-            # below a near-1 position. Extend the last ALIVE lane's bucket
-            # to +inf (matching resample_indices' clamp, ops/resampling.py)
-            # — masked lanes' buckets are zero-width [cdf, cdf) and never
-            # match, so dead-lane positions (pinned to 1.0) land here too.
-            cdf_ext = jnp.where(lane_f == alive_ct - 1.0, jnp.inf, cdf)
+            # below a near-1 position, and masked lanes carry the running
+            # total (a pos draw just under 1 could "pass" them). Pinning
+            # cdf = +inf from the LAST ALIVE lane on caps m_k at
+            # alive_ct - 1, matching resample_indices' clamp
+            # (ops/resampling.py); dead-lane positions (pinned 1.0) also
+            # land there and are overwritten by masked-lane handling
+            # downstream.
+            cdf_ext = jnp.where(lane_f >= alive_ct - 1.0, jnp.inf, cdf)
             v = s * _PACK + i                               # packed column
+            # v_{j+1} - v_j (roll by n-1 == roll by -1; negative shifts
+            # are rejected). The wrapped lane n-1 never contributes: its
+            # cdf_ext is +inf for any alive_ct.
+            dv = pltpu.roll(v, n - 1, axis=1) - v
+            v0 = jnp.max(jnp.where(lane == 0, v, neg), axis=-1,
+                         keepdims=True)                     # [B, 1]
             shape3 = (b, n, n)
             pos_b = jnp.broadcast_to(pos[:, :, None], shape3)
             cdf_b = jnp.broadcast_to(cdf_ext[:, None, :], shape3)
-            prev_b = jnp.broadcast_to(cdf_prev[:, None, :], shape3)
-            m = jnp.logical_and(pos_b >= prev_b, pos_b < cdf_b)
-            v_b = jnp.broadcast_to(v[:, None, :], shape3)
-            v_res = jnp.sum(jnp.where(m, v_b, jnp.zeros_like(v_b)), axis=2)
+            dv_b = jnp.broadcast_to(dv[:, None, :], shape3)
+            v_res = v0 + jnp.sum(
+                jnp.where(cdf_b <= pos_b, dv_b, jnp.zeros_like(dv_b)),
+                axis=2,
+            )
             s_res = jnp.floor(v_res * (1.0 / _PACK))        # exact unpack
             i_res = v_res - s_res * _PACK
 
