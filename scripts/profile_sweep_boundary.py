@@ -74,19 +74,17 @@ def timeit(name, reps=3):
           f"({C * K / med * 1000 / 1000:.0f}k samples/s)", flush=True)
 
 
+# Round-3 attribution of the telescoped-selection fori_loop kernel at the
+# production block size (B=128, 8 MB budget). Wide scalars are now
+# unconditional, so the only knobs are the phase stubs.
 CASES = [
-    ("full + wide", (), True, 2),
-    ("gillespie only (skip resample), wide", ("resample",), True, 2),
-    ("gillespie only, wide, B=128", ("resample",), True, 8),
-    ("gillespie only, wide, B=512", ("resample",), True, 32),
-    ("resample only (skip gillespie), wide", ("gillespie",), True, 2),
-    ("resample only, wide, B=128", ("gillespie",), True, 8),
-    ("full + wide, B=128", (), True, 8),
+    ("full, B=128", (), 8),
+    ("gillespie only (skip resample), B=128", ("resample",), 8),
+    ("resample only (skip gillespie), B=128", ("gillespie",), 8),
 ]
 
-for name, skip, wide, budget_mb in CASES:
+for name, skip, budget_mb in CASES:
     sw._DEBUG_SKIP = skip
-    sw._DEBUG_WIDE_SCALARS = wide
     sw._SELECTION_VMEM_BUDGET = budget_mb * 1024 * 1024
     sw._make_op.cache_clear()
     try:
