@@ -102,6 +102,8 @@ def _kernel(seed_ref, s_ref, i_ref, lam_ref, gam_ref, sout_ref, iout_ref,
         lane_mix = None
     lam = lam_ref[:, :]                               # [B, N] broadcast
     gam = gam_ref[:, :]
+    # lam/n_total is loop-invariant; hoisted out of the event body.
+    lam_n = lam * jnp.float32(1.0 / n_total)
     t = jnp.zeros_like(s)
     # The active mask is carried as f32 (1.0/0.0): Mosaic fails to legalize
     # i1 vector carries in scf.while (scf.yield legalization error).
@@ -135,17 +137,20 @@ def _kernel(seed_ref, s_ref, i_ref, lam_ref, gam_ref, sout_ref, iout_ref,
         # Top 24 bits -> f32 uniforms in [0, 1) (exactly representable).
         u = u24.astype(jnp.float32) * inv24
         for e in range(unroll):
-            rate_inf = (lam * (1.0 / n_total)) * s * i
+            # One division per event (see ops/sir_sweep_pallas.py for the
+            # full argument): live lanes have rate_tot >= gam*i > 0, dead
+            # lanes' inf/NaN is gated behind `fire` (NaN compares false),
+            # and the event choice uses u * rate_tot < rate_inf instead
+            # of a second division.
+            rate_inf = lam_n * s * i
             rate_tot = rate_inf + gam * i
-            live = jnp.logical_and(active > 0.0, rate_tot > 0.0)
-            safe = jnp.where(live, rate_tot, 1.0)
-            dt = -jnp.log1p(-u[2 * e]) / safe
+            dt = -jnp.log1p(-u[2 * e]) * (1.0 / rate_tot)
             t_new = t + dt
-            fire = jnp.logical_and(live, t_new <= t_end)
-            infect = u[2 * e + 1] < rate_inf / safe
+            fire = jnp.logical_and(active > 0.0, t_new <= t_end)
+            infect = u[2 * e + 1] * rate_tot < rate_inf
             s = jnp.where(jnp.logical_and(fire, infect), s - 1.0, s)
             i = jnp.where(fire, jnp.where(infect, i + 1.0, i - 1.0), i)
-            t = jnp.where(live, t_new, t)
+            t = jnp.where(fire, t_new, t)
             active = jnp.logical_and(fire, i > 0.0).astype(s.dtype)
         return s, i, t, active, steps + unroll
 

@@ -66,7 +66,10 @@ _SELECTION_VMEM_BUDGET = 8 * 1024 * 1024
 _PACK = 4096.0
 # Profiling hook (scripts/profile_sweep_boundary.py): phases to stub out
 # when attributing in-kernel cost ("gillespie", "resample", "writes",
-# "stack"). Never set outside profiling runs.
+# "stack", "log1p" [replace the exponential-waiting-time transcendental
+# with a multiply — wrong distribution, cost probe only], "draws" [reuse
+# one uniform block instead of drawing per iteration]). Never set outside
+# profiling runs.
 _DEBUG_SKIP: tuple = ()
 
 
@@ -198,23 +201,47 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
                     jnp.max(act) > 0.0, steps < MAX_EVENTS
                 )
 
+            # lam/n_total is loop-invariant; hoisted out of the event body.
+            lam_n = lam * np.float32(1.0 / n_total)
+
+            if "draws" in _DEBUG_SKIP:  # cost probe only: one shared block
+                u_fixed, ctr = draw(2 * unroll, ctr)
+
             def body(carry):
                 s, i, tloc, active, steps, ctr = carry
-                u, ctr = draw(2 * unroll, ctr)
+                if "draws" in _DEBUG_SKIP:
+                    u = u_fixed
+                else:
+                    u, ctr = draw(2 * unroll, ctr)
                 for e in range(unroll):
-                    rate_inf = (lam * (1.0 / n_total)) * s * i
+                    # Event arithmetic trimmed to ONE division per event
+                    # (profiled ~55% of the step in this loop): no
+                    # rate_tot > 0 guard or `safe` select — for any live
+                    # lane i >= 1 and gam > 0 (exp-transformed proposals
+                    # are strictly positive, and gam*i cannot underflow
+                    # for i >= 1), so rate_tot >= gam > 0; dead lanes
+                    # (i = 0) produce inf/NaN that every consumer gates
+                    # behind `fire`, which is false there (IEEE: NaN
+                    # compares false). The branch decision uses
+                    # u * rate_tot < rate_inf (multiply) instead of
+                    # u < rate_inf/rate_tot (a second division).
+                    rate_inf = lam_n * s * i
                     rate_tot = rate_inf + gam * i
-                    live = jnp.logical_and(active > 0.0, rate_tot > 0.0)
-                    safe = jnp.where(live, rate_tot, 1.0)
-                    dt = -jnp.log1p(-u[2 * e]) / safe
+                    if "log1p" in _DEBUG_SKIP:  # cost probe only
+                        # (u + 0.5) keeps the mean waiting time 1/rate so
+                        # the iteration-count distribution stays roughly
+                        # comparable to the exponential it replaces.
+                        dt = (u[2 * e] + 0.5) * (1.0 / rate_tot)
+                    else:
+                        dt = -jnp.log1p(-u[2 * e]) * (1.0 / rate_tot)
                     t_new = tloc + dt
-                    fire = jnp.logical_and(live, t_new <= 1.0)
-                    infect = u[2 * e + 1] < rate_inf / safe
+                    fire = jnp.logical_and(active > 0.0, t_new <= 1.0)
+                    infect = u[2 * e + 1] * rate_tot < rate_inf
                     s = jnp.where(jnp.logical_and(fire, infect), s - 1.0, s)
                     i = jnp.where(
                         fire, jnp.where(infect, i + 1.0, i - 1.0), i
                     )
-                    tloc = jnp.where(live, t_new, tloc)
+                    tloc = jnp.where(fire, t_new, tloc)
                     active = jnp.logical_and(fire, i > 0.0).astype(
                         jnp.float32
                     )

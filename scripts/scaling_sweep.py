@@ -15,7 +15,7 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-from bench import tpu_samples_per_sec  # noqa: E402
+from bench import _enable_compile_cache, tpu_samples_per_sec  # noqa: E402
 from bayesssm_tpu.models.sir import simulate_sir  # noqa: E402
 
 
@@ -27,9 +27,10 @@ def main():
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--calls", type=int, default=2)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--transition", default="gillespie_pallas")
+    ap.add_argument("--transition", default="sir_sweep")
     args = ap.parse_args()
 
+    _enable_compile_cache()
     _, y = simulate_sir(seed=1405)
     base_per_chain = None
     for c in args.chains:
