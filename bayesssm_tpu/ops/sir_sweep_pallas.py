@@ -231,6 +231,13 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
                         # (u + 0.5) keeps the mean waiting time 1/rate so
                         # the iteration-count distribution stays roughly
                         # comparable to the exponential it replaces.
+                        # NOTE the probe overstates log1p's cost: most of
+                        # its delta is the narrower waiting-time spread
+                        # (fewer block-max while iterations). A hand-rolled
+                        # bit-split + degree-8 minimax log measured 2.4 ms
+                        # SLOWER than jnp.log1p at the bench shape —
+                        # Mosaic's transcendentals are hardware-assisted;
+                        # do not replace them with polynomials.
                         dt = (u[2 * e] + 0.5) * (1.0 / rate_tot)
                     else:
                         dt = -jnp.log1p(-u[2 * e]) * (1.0 / rate_tot)
@@ -533,7 +540,7 @@ def sir_bpf_sweep(
     resample_fn: str = "stratified",
     resample_algorithm: str = "SISAR",
     threshold=None,
-    unroll: int = 4,
+    unroll: int = 8,
     interpret: bool = False,
 ):
     """Full SIR bootstrap-filter sweep in one fused TPU kernel (vmap-aware).
