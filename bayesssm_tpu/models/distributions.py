@@ -17,6 +17,7 @@ __all__ = [
     "unif_logpdf",
     "pois_logpmf",
     "halfnorm_logpdf",
+    "beta_logpdf",
 ]
 
 _NEG_INF = -jnp.inf
@@ -51,6 +52,25 @@ def pois_logpmf(k, rate):
     safe_rate = jnp.where(rate > 0, rate, 1.0)
     out = k * jnp.log(safe_rate) - rate - gammaln(k + 1.0)
     return jnp.where(rate > 0, out, jnp.where(k == 0, 0.0, _NEG_INF))
+
+
+def beta_logpdf(x, a=1.0, b=1.0):
+    """log Beta(x; a, b) — R's dbeta(log=TRUE); -inf outside (0, 1).
+
+    Open-interval support (endpoints -inf even when a, b allow them):
+    the model zoo uses it for persistence parameters under the logit
+    transform, where 0/1 map to infinite z.
+    """
+    from jax.scipy.special import gammaln
+
+    inside = (x > 0) & (x < 1)
+    xs = jnp.where(inside, x, 0.5)
+    out = (
+        (a - 1.0) * jnp.log(xs)
+        + (b - 1.0) * jnp.log1p(-xs)
+        + gammaln(a + b) - gammaln(a) - gammaln(b)
+    )
+    return jnp.where(inside, out, _NEG_INF)
 
 
 def halfnorm_logpdf(x, sigma=1.0):

@@ -216,3 +216,89 @@ def test_sir_apf_and_rmpf_components():
     assert (p >= 0).all()
     assert (p.sum(axis=-1) <= n_total).all()
     assert np.array_equal(p, np.round(p))
+
+
+class TestStochasticVolatility:
+    def test_beta_logpdf_matches_lgamma_formula(self):
+        import math
+
+        from bayesssm_tpu.models.distributions import beta_logpdf
+
+        x, a, b = 0.85, 9.0, 1.5
+        expected = (
+            (a - 1) * math.log(x) + (b - 1) * math.log1p(-x)
+            + math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        )
+        np.testing.assert_allclose(
+            float(beta_logpdf(x, a, b)), expected, rtol=1e-5
+        )
+        assert np.isneginf(float(beta_logpdf(0.0, 2.0, 2.0)))
+        assert np.isneginf(float(beta_logpdf(1.0, 2.0, 2.0)))
+        assert np.isneginf(float(beta_logpdf(-0.2, 1.0, 1.0)))
+
+    def test_simulate_shapes_and_scale(self):
+        from bayesssm_tpu.models.stochastic_volatility import simulate_sv
+
+        x, y = simulate_sv(seed=3, t_val=200, phi=0.9, sigma=0.4, mu=-1.0)
+        assert x.shape == (200,) and y.shape == (200,)
+        # Stationary log-volatility: mean near mu, sd near sigma/sqrt(1-phi^2)
+        assert abs(x.mean() - (-1.0)) < 0.5
+        assert abs(x.std() - 0.4 / np.sqrt(1 - 0.81)) < 0.4
+
+    def test_filter_runs_and_favors_truth(self):
+        from bayesssm_tpu.models.stochastic_volatility import (
+            simulate_sv,
+            sv_model,
+        )
+
+        fns, log_priors, transform = sv_model()
+        _, y = simulate_sv(seed=11, t_val=40)
+        ys = jnp.asarray(y, jnp.float32)
+
+        def avg_ll(theta, seeds):
+            lls = [
+                bootstrap_filter(
+                    jax.random.key(s), ys, 256, *fns, theta=theta,
+                    return_particles=False,
+                ).loglike
+                for s in seeds
+            ]
+            return float(np.mean(lls))
+
+        truth = {"phi": 0.95, "sigma": 0.3, "mu": -1.0}
+        wrong = {"phi": 0.2, "sigma": 2.5, "mu": 2.0}
+        seeds = range(4)
+        assert avg_ll(truth, seeds) > avg_ll(wrong, seeds) + 5.0
+        # Prior support and transform table are self-consistent.
+        assert transform["phi"] == "logit"
+        assert np.isfinite(float(log_priors["phi"](jnp.float32(0.9))))
+        assert np.isneginf(float(log_priors["phi"](jnp.float32(1.2))))
+
+    def test_pmmh_smoke_with_logit_transform(self):
+        import warnings
+
+        from bayesssm_tpu.models.stochastic_volatility import (
+            simulate_sv,
+            sv_model,
+        )
+        from bayesssm_tpu.pmmh.driver import pmmh
+        from bayesssm_tpu.pmmh.tuning import default_tune_control
+
+        fns, log_priors, transform = sv_model()
+        _, y = simulate_sv(seed=5, t_val=15)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            out = pmmh(
+                "bootstrap_filter", np.asarray(y, np.float32), 12,
+                fns[0], fns[1], fns[2], log_priors,
+                pilot_init_params={"phi": 0.9, "sigma": 0.5, "mu": 0.0},
+                burn_in=2, num_chains=2, seed=42, param_transform=transform,
+                tune_control=default_tune_control(
+                    pilot_m=20, pilot_burn_in=5, pilot_reps=2
+                ),
+                print_summary=False,
+            )
+        phi_chain = np.asarray(out.theta_chain["phi"])
+        assert phi_chain.shape == (2, 10)
+        assert np.isfinite(phi_chain).all()
+        assert ((phi_chain > 0) & (phi_chain < 1)).all()
