@@ -18,8 +18,11 @@ is distributional, like everything RNG-bearing (SURVEY.md §7).
 
 Batching: custom_vmap lowers a vmapped call to ONE gridded kernel; the
 chain axis is blocked at ~64k lanes per grid program. Each block's PRNG is
-seeded from the first chain's key data mixed with the program id, so a
-fixed root key gives reproducible results for a fixed blocking.
+seeded from the first chain's key data mixed with the program id, and
+every chain's OWN key is additionally XOR-mixed into its lanes' bits
+(ops/sir_sweep_pallas.py convention), so no chain's stream is a function
+of another chain's key alone; a fixed root key gives reproducible results
+for a fixed blocking.
 
 Interpret mode (CPU CI): the Pallas interpreter has no hardware PRNG
 (``pltpu.prng_random_bits`` returns zeros), so ``interpret=True`` swaps the
@@ -65,15 +68,29 @@ def _hash32(x):
     return x
 
 
-def _kernel(seed_ref, s_ref, i_ref, lam_ref, gam_ref, sout_ref, iout_ref,
-            *, n_total: float, t_end: float, unroll: int,
-            software_prng: bool):
+def _kernel(seed_ref, sd0_ref, sd1_ref, s_ref, i_ref, lam_ref, gam_ref,
+            sout_ref, iout_ref, *, n_total: float, t_end: float,
+            unroll: int, software_prng: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     s = s_ref[:, :]
     i = i_ref[:, :]
     b, n = s.shape
+    # Per-chain seed mix (ops/sir_sweep_pallas.py convention): every
+    # chain's OWN key feeds its lanes' bits via the XOR below, so no
+    # chain's stream is a function of the block's first key alone —
+    # keeps independent-chain diagnostics (R-hat, cross-chain ESS)
+    # honest. int32 throughout; lowbias32-style finalizer decorrelates
+    # adjacent fold_in seeds.
+    rmix = sd0_ref[:, :] ^ (
+        sd1_ref[:, :] * jnp.int32(-1640531527) + jnp.int32(1)
+    )
+    rmix = rmix ^ ((rmix >> 16) & jnp.int32(0x0000FFFF))
+    rmix = rmix * jnp.int32(0x7FEB352D)
+    rmix = rmix ^ ((rmix >> 15) & jnp.int32(0x0001FFFF))
+    rmix = rmix * jnp.int32(-2073254261)                  # 0x846CA68B
+    row_mix = jnp.broadcast_to(rmix, (b, n))              # [B, N] int32
     # The seed array rides along whole in SMEM (a [g, 2] block would break
     # Mosaic's (8, 128)-divisibility rule); each program picks its row.
     seed0 = seed_ref[pl.program_id(0), 0]
@@ -120,9 +137,10 @@ def _kernel(seed_ref, s_ref, i_ref, lam_ref, gam_ref, sout_ref, iout_ref,
             # Global draw index: each iteration advances steps by `unroll`
             # and consumes 2*unroll draws, so 2*steps+k is unique per draw.
             d0 = jax.lax.convert_element_type(2 * steps, jnp.uint32)
+            rm = jax.lax.convert_element_type(row_mix, jnp.uint32)
             bits = jnp.stack([
-                _hash32(lane_mix ^ ((d0 + jnp.uint32(k))
-                                    * jnp.uint32(0x85EBCA6B)))
+                _hash32((lane_mix ^ rm) ^ ((d0 + jnp.uint32(k))
+                                           * jnp.uint32(0x85EBCA6B)))
                 for k in range(2 * unroll)
             ])
             u24 = (bits >> jnp.uint32(8)).astype(jnp.int32)
@@ -132,8 +150,10 @@ def _kernel(seed_ref, s_ref, i_ref, lam_ref, gam_ref, sout_ref, iout_ref,
             # after shifting (without the mask, half the "uniforms" came
             # out negative on hardware: epidemics collapsed, S went
             # negative). Mosaic cannot cast uint32->f32, hence int32 ops.
+            # XOR the per-chain mix BEFORE the shift: the low 24 bits stay
+            # uniform and each chain's own key enters its stream.
             raw = pltpu.prng_random_bits((2 * unroll, b, n))
-            u24 = (raw >> 8) & jnp.int32(0x00FFFFFF)
+            u24 = ((raw ^ row_mix[None]) >> 8) & jnp.int32(0x00FFFFFF)
         # Top 24 bits -> f32 uniforms in [0, 1) (exactly representable).
         u = u24.astype(jnp.float32) * inv24
         for e in range(unroll):
@@ -217,12 +237,15 @@ def _batched_call(seeds, s, i, lam, gam, n_total, t_end, unroll, interpret):
         ),
         in_specs=[
             seed_spec,                           # block seeds (first chains)
+            spec(b, 1), spec(b, 1),              # per-CHAIN seed words
             spec(b, n), spec(b, n), spec(b, n), spec(b, n),
         ],
         out_specs=(spec(b, n), spec(b, n)),
         interpret=interpret,
     )(
         seeds.reshape(g, b, 2)[:, 0, :],
+        seeds[:, 0].reshape(g, b, 1),
+        seeds[:, 1].reshape(g, b, 1),
         s.reshape(g, b, n),
         i.reshape(g, b, n),
         wide(lam),
