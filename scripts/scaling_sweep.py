@@ -1,9 +1,14 @@
-"""Chain-count scaling sweep on the current device.
+"""Chain-count saturation sweep on the current device.
 
 Measures aggregate PMMH samples/s on the stochastic-SIR benchmark across
-chain counts (weak scaling of the embarrassingly parallel axis on one
-chip; on a multi-chip mesh the same sweep exercises ICI scaling). Prints
-one JSON line per configuration.
+chain counts. On ONE chip this is a SATURATION curve, not weak scaling:
+grid programs serialize on the single TensorCore, so aggregate throughput
+rises toward a plateau as chains fill the grid while per-chain throughput
+falls correspondingly (round-3 measurement: 169.8k/252.6k/354.4k/370.4k
+samples/s at 256/1024/4096/8192 chains). Weak scaling across DEVICES is
+the chains-mesh axis (parallel/mesh.py; dryrun_multichip) — per-chain
+throughput is restored by sharding chains over chips. Prints one JSON
+line per configuration.
 
 Run: python scripts/scaling_sweep.py [--chains 256 1024 4096] [--particles 128]
 """
@@ -24,7 +29,9 @@ def main():
     ap.add_argument("--chains", type=int, nargs="+",
                     default=[256, 1024, 4096, 8192])
     ap.add_argument("--particles", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=16)
+    # 64 steps/call amortizes the ~25 ms tunnel dispatch (bench.py note);
+    # at 16 steps the overhead inflates small-chain-count measurements.
+    ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--calls", type=int, default=2)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--transition", default="sir_sweep")
@@ -45,7 +52,7 @@ def main():
             "chains": c,
             "samples_per_sec": round(sps, 2),
             "per_chain": round(per_chain, 4),
-            "efficiency_vs_smallest": round(per_chain / base_per_chain, 3),
+            "per_chain_vs_smallest": round(per_chain / base_per_chain, 3),
         }))
 
 
