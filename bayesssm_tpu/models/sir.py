@@ -195,7 +195,7 @@ def sir_model(
 def sir_sweep_pf_impl(
     n_total: int = 500,
     init_infected: int = 70,
-    unroll: int = 4,
+    unroll: int = 8,
     interpret: bool = False,
 ):
     """PMMH ``pf_impl`` factory routing the SIR filter through the fused

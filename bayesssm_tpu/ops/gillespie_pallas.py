@@ -282,7 +282,7 @@ def _make_op(n_total: float, t_end: float, unroll: int, interpret: bool):
 
 
 def gillespie_step_pallas(
-    key, state, lam, gamma, n_total, t_end=1.0, unroll: int = 4,
+    key, state, lam, gamma, n_total, t_end=1.0, unroll: int = 8,
     interpret: bool = False,
 ):
     """Exact SIR Gillespie unit-time advance, one chain (vmap-aware).
