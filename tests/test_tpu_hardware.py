@@ -152,3 +152,41 @@ def test_inkernel_positions_on_device():
     np.testing.assert_array_equal(np.asarray(batch("auto")), ll_seeded)
     se = ll_port.std() / np.sqrt(len(keys))
     assert abs(ll_seeded.mean() - ll_port.mean()) < 5 * se + 0.5
+
+
+def test_whole_sweep_kernel_on_device():
+    # The whole-sweep SIR kernel is the flagship path and has already
+    # broken ONCE in a hardware-only way while CPU CI stayed green: a
+    # dynamic-lane-index vector store inside the day fori_loop failed
+    # Mosaic lowering (round 3; fixed by register-accumulated estimate
+    # columns). Certify on device: compiles+runs, finite loglikes,
+    # deterministic per key, chains decorrelated, and distributional
+    # agreement with the per-day gillespie_pallas bootstrap filter.
+    from bayesssm_tpu.filters.bootstrap import bootstrap_filter
+    from bayesssm_tpu.models.sir import simulate_sir, sir_model
+    from bayesssm_tpu.ops.sir_sweep_pallas import sir_bpf_sweep
+
+    _, y = simulate_sir(seed=1405)
+    ys = jnp.asarray(y, jnp.float32)
+    keys = jax.random.split(jax.random.key(0), 256)
+
+    sweep = jax.jit(jax.vmap(
+        lambda k: sir_bpf_sweep(k, ys, 128, 0.5, 0.2, 500, 70)[0]
+    ))
+    ll_sweep = np.asarray(sweep(keys))
+    assert np.isfinite(ll_sweep).all()
+    assert len(np.unique(ll_sweep)) > 128          # chains decorrelated
+    np.testing.assert_array_equal(np.asarray(sweep(keys)), ll_sweep)
+
+    (init_fn, trans_fn, loglik_fn), _, _ = sir_model(
+        n_total=500, init_infected=70, transition="gillespie_pallas"
+    )
+    per_day = jax.jit(jax.vmap(
+        lambda k: bootstrap_filter(
+            k, ys, 128, init_fn, trans_fn, loglik_fn,
+            theta={"lam": 0.5, "gamma": 0.2}, return_particles=False,
+        ).loglike
+    ))
+    ll_day = np.asarray(per_day(jax.random.split(jax.random.key(1), 256)))
+    se = np.sqrt(ll_sweep.var() / 256 + ll_day.var() / 256)
+    assert abs(ll_sweep.mean() - ll_day.mean()) < 5 * se + 0.1
