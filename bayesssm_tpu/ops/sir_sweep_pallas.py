@@ -339,9 +339,11 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
             # total (a pos draw just under 1 could "pass" them). Pinning
             # cdf = +inf from the LAST ALIVE lane on caps m_k at
             # alive_ct - 1, matching resample_indices' clamp
-            # (ops/resampling.py); dead-lane positions (pinned 1.0) also
-            # land there and are overwritten by masked-lane handling
-            # downstream.
+            # (ops/resampling.py); masked-lane positions (pinned 1.0)
+            # resolve to a COPY of the last alive particle and are zeroed
+            # after the unpack below — without the zeroing those copies
+            # stay active (i > 0) and lengthen the block-max Gillespie
+            # while_loop whenever num_particles < max_particles.
             cdf_ext = jnp.where(lane_f >= alive_ct - 1.0, jnp.inf, cdf)
             v = s * _PACK + i                               # packed column
             # v_{j+1} - v_j (roll by n-1 == roll by -1; negative shifts
@@ -360,6 +362,11 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
             )
             s_res = jnp.floor(v_res * (1.0 / _PACK))        # exact unpack
             i_res = v_res - s_res * _PACK
+            # Masked lanes -> inert zero state (every downstream consumer
+            # additionally gates on alive_mask, so this is purely about
+            # keeping dead lanes out of the Gillespie active set).
+            s_res = jnp.where(alive_mask, s_res, 0.0)
+            i_res = jnp.where(alive_mask, i_res, 0.0)
 
             if always_resample:
                 s, i = s_res, i_res

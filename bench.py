@@ -228,8 +228,14 @@ def pmmh_e2e_samples_per_sec(y, chains, m, transition):
             )
 
     m_short = max(2, m // 8)
-    out_short = run(m_short)
+    # Full-m run FIRST: both timers pay one-off jit-trace/program-load, but
+    # the second run in the same process hits warm caches; ordering the
+    # short run second makes any residual warm-cache advantage shrink the
+    # subtrahend, biasing the marginal rate DOWN (conservative) instead of
+    # up. Both raw quotients stay recoverable from the returned timings
+    # ("sampling" and "sampling_short") so the cancellation is checkable.
     out = run(m)
+    out_short = run(m_short)
     t_short = out_short.timings.get("sampling", float("nan"))
     t_full = out.timings.get("sampling", float("nan"))
     rate = chains * (m - m_short) / (t_full - t_short)

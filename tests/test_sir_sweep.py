@@ -204,4 +204,3 @@ def test_pmmh_pf_impl_with_chain_mesh(ys):
     for p, chain in out.theta_chain.items():
         assert chain.shape == (8, 6), (p, chain.shape)
         assert np.isfinite(chain).all(), p
-
