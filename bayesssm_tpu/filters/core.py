@@ -423,6 +423,16 @@ def particle_filter_core(
             if aux_lw.shape[-1] != n_loc:
                 raise ValueError("aux_weight_fn must return num_particles")
             aux_lw = jnp.where(alive, aux_lw, neg_inf)
+            # Degenerate AUX weights kill the chain like degenerate main
+            # weights: the reference's sample() errors on all-zero
+            # auxiliary probabilities; mapping it to the same -inf
+            # contract keeps PMMH safe. (Without this, the fused path's
+            # -1e30 clamp cancels in ``lw - aux_anc`` and a dead proposal
+            # would surface a spuriously huge log-likelihood.)
+            aux_max = jnp.max(aux_lw)
+            if sharded:
+                aux_max = lax.pmax(aux_max, particle_axis)
+            dead = jnp.logical_or(dead, aux_max < DEGENERATE_LOG_WEIGHT)
             aux_base = aux_lw + lnw_prev if carry_weights else aux_lw
             if fused_enabled:
                 # Fused auxiliary resample: append the aux log-weights as an

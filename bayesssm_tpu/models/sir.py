@@ -196,6 +196,7 @@ def sir_sweep_pf_impl(
     n_total: int = 500,
     init_infected: int = 70,
     unroll: int = 8,
+    move_step_max: int = 2,
     interpret: bool = False,
 ):
     """PMMH ``pf_impl`` factory routing the SIR filter through the fused
@@ -206,11 +207,12 @@ def sir_sweep_pf_impl(
     in for BOTH the pilot-tuning and sampling phases — the TPU-native
     analogue of the reference's Rcpp escape hatch
     (/root/reference/vignettes/articles/detailed-overview.Rmd:401-470).
-    Supports BPF with fresh-weight SISR/SISAR on contiguous observation
-    times; anything else raises so misuse cannot silently change the
-    sampled distribution.
+    Supports BPF, APF (lookahead = ``sir_aux_log_likelihood_fn``) and RMPF
+    (move = ``sir_move_fn(n_total, move_step_max)``) with fresh-weight
+    SISR/SISAR on contiguous observation times; anything else raises so
+    misuse cannot silently change the sampled distribution.
     """
-    from bayesssm_tpu.ops.sir_sweep_pallas import sir_bpf_sweep
+    from bayesssm_tpu.ops.sir_sweep_pallas import sir_filter_sweep
 
     def factory(
         y,
@@ -225,8 +227,10 @@ def sir_sweep_pf_impl(
         max_particles=None,
     ):
         del model_fns  # the kernel IS the model
-        if algorithm != "BPF":
-            raise ValueError("sir_sweep_pf_impl supports BPF only")
+        if algorithm not in ("BPF", "APF", "RMPF"):
+            raise ValueError(
+                "sir_sweep_pf_impl supports BPF, APF or RMPF only"
+            )
         if obs_times is not None:
             raise ValueError(
                 "sir_sweep_pf_impl supports contiguous obs_times only"
@@ -245,15 +249,17 @@ def sir_sweep_pf_impl(
         ys = jnp.asarray(y, jnp.float32)
 
         def pf(key, theta_vec, n=num_particles):
-            return sir_bpf_sweep(
+            return sir_filter_sweep(
                 key, ys, n, theta_vec[j_lam], theta_vec[j_gam],
                 n_total, init_infected,
+                algorithm=algorithm,
                 max_particles=max_particles
                 if max_particles is not None
                 else n,
                 resample_fn=resample_fn,
                 resample_algorithm=resample_algorithm,
                 unroll=unroll,
+                move_step_max=move_step_max,
                 interpret=interpret,
             )
 

@@ -1,4 +1,4 @@
-"""Fully fused Pallas TPU kernel: the whole SIR bootstrap-filter sweep.
+"""Fully fused Pallas TPU kernels: whole SIR filter sweeps (BPF/APF/RMPF).
 
 Round-2 profiling (scripts/profile_amortized.py) attributed the 14 ms PMMH
 MH step at [4096 chains x 128 particles x T=10] as ~2.5 ms Gillespie
@@ -23,11 +23,16 @@ for populations <= 4094 because both counts are integers < 2^12 and the
 unpack divides by a power of two) so the O(N^2) masked-reduce gather runs
 once instead of once per state column.
 
-Semantics are the reference BPF with fresh-weight SISAR/SISR
+Semantics are the reference filters with fresh-weight SISAR/SISR
 (/root/reference/R/particle_filter_core.R:123-246, quirks Q4/Q5 as in
 filters/core.py's default ``carry_weights=False``), including masked lanes
 (per-chain traced ``num_particles``, SURVEY.md Q9) and the degenerate
 -inf contract (all log-weights < -1e8 => loglike -inf, zeroed estimates).
+The ``algorithm`` parameter adds the APF's auxiliary stage (lookahead
+weights, forced aux resample, Q2 double transition, corrected weights —
+/root/reference/R/auxiliary_filter.R via particle_filter_core.R:139-175)
+and the RMPF's forced-SISR + in-kernel Metropolis rejuvenation move
+(/root/reference/R/resample_move_filter.R:190-236); see ``_make_kernel``.
 Returned per chain: ``(loglike, state_est [T+1, 2])`` — exactly what the
 PMMH hot loop consumes.
 
@@ -50,7 +55,7 @@ import jax.numpy as jnp
 
 from bayesssm_tpu.ops.gillespie_pallas import MAX_EVENTS, _hash32
 
-__all__ = ["sir_bpf_sweep"]
+__all__ = ["sir_filter_sweep", "sir_bpf_sweep"]
 
 # Chains per grid program: bounded by the [B, N, N] selection-matrix
 # intermediates in VMEM (same budget logic as ops/resampling_pallas.py).
@@ -79,8 +84,27 @@ def _chains_per_program(c: int, n: int) -> int:
 
 
 def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
-                 method: str, always_resample: bool, software_prng: bool):
-    """Return the kernel body closure with the particle width ``n`` static."""
+                 method: str, always_resample: bool, software_prng: bool,
+                 algorithm: str = "BPF", move_step_max: int = 2):
+    """Return the kernel body closure with the particle width ``n`` static.
+
+    ``algorithm`` selects the per-observation step:
+      * ``"BPF"``  — Gillespie day, Poisson weights, adaptive resample.
+      * ``"APF"``  — Gillespie day, auxiliary Poisson lookahead weights,
+        forced auxiliary resample, SECOND Gillespie day (quirk Q2,
+        /root/reference/R/particle_filter_core.R:139-175), corrected
+        weights ``lw - aux_anc``, adaptive resample. The ancestor aux
+        weight is RECOMPUTED from the selected (S, I) instead of carried
+        through the selection: the aux weight is a deterministic function
+        of I and y_t, so the recompute equals the gather exactly while
+        keeping the telescoped selection on packed integers (a float
+        column would not telescope exactly in f32).
+      * ``"RMPF"`` — Gillespie day, Poisson weights, forced resample
+        (SISR, mirroring filters/resample_move.py), in-kernel
+        Metropolis rejuvenation move on I (models/sir.py::sir_move_fn:
+        propose I + U{-k..k}, accept with the Poisson likelihood ratio,
+        reject outside [0, n_total - S]).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -183,15 +207,11 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
             est_col == 0, jnp.broadcast_to(i0_ref[:, 0:1], (b, t1)), 0.0
         )
 
-        # The day recursion is a fori_loop, not a python unroll: ten
-        # copies of the selection block made Mosaic compilation take
-        # minutes at B=128 (round 3); the rolled loop compiles ~10x less
-        # code with identical semantics (t-dependent scalar reads from
-        # SMEM, pl.ds column stores).
-        def day(t, carry):
-            s, i, loglike, dead, ctr, ses_acc, sei_acc = carry
-            est_mask = est_col == t + 1                       # [B, T+1]
-            # ---- exact Gillespie day step (while_loop, unrolled draws) ----
+        # lam/n_total is loop-invariant; hoisted out of the event body.
+        lam_n = lam * np.float32(1.0 / n_total)
+
+        def run_gillespie(s, i, ctr):
+            """One exact Gillespie day (while_loop, unrolled draws)."""
             tloc = jnp.zeros((b, n), jnp.float32)
             active = (i > 0.0).astype(jnp.float32)
 
@@ -200,9 +220,6 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
                 return jnp.logical_and(
                     jnp.max(act) > 0.0, steps < MAX_EVENTS
                 )
-
-            # lam/n_total is loop-invariant; hoisted out of the event body.
-            lam_n = lam * np.float32(1.0 / n_total)
 
             if "draws" in _DEBUG_SKIP:  # cost probe only: one shared block
                 u_fixed, ctr = draw(2 * unroll, ctr)
@@ -257,32 +274,25 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
             if "gillespie" in _DEBUG_SKIP:  # profiling stub: one cheap draw
                 u, ctr = draw(1, ctr)
                 i = jnp.maximum(i - jnp.floor(3.0 * u[0]), 0.0)
-            else:
-                s, i, _, _, _, ctr = jax.lax.while_loop(
-                    cond, body,
-                    (s, i, tloc, active, jnp.zeros((), jnp.int32), ctr),
-                )
-
-            # ---- Poisson log-weights (models/distributions.pois_logpmf) --
-            y_t = y_ref[t]
-            lgy_t = lgy_ref[t]
-            safe_i = jnp.where(i > 0.0, i, 1.0)
-            lw = y_t * jnp.log(safe_i) - i - lgy_t
-            lw = jnp.where(
-                i > 0.0, lw, jnp.where(y_t == 0.0, 0.0, neg)
+                return s, i, ctr
+            s, i, _, _, _, ctr = jax.lax.while_loop(
+                cond, body,
+                (s, i, tloc, active, jnp.zeros((), jnp.int32), ctr),
             )
-            lw = jnp.where(alive_mask, lw, neg)
+            return s, i, ctr
 
-            # ---- normalize + ESS + likelihood increment ----
-            mx = jnp.max(lw, axis=-1, keepdims=True)          # [B, 1]
-            dead = jnp.maximum(dead, (mx < degenerate).astype(jnp.float32))
-            shifted = jnp.exp(lw - mx)
-            ssum = jnp.sum(shifted, axis=-1, keepdims=True)
-            w = shifted / ssum
-            ess = 1.0 / jnp.sum(w * w, axis=-1, keepdims=True)
-            loglike = loglike + mx + jnp.log(ssum) - jnp.log(alive_ct)
+        def obs_logw(i_arr, y_t, lgy_t):
+            """Poisson log-weights (models/distributions.pois_logpmf),
+            masked lanes pinned to ``neg``."""
+            safe_i = jnp.where(i_arr > 0.0, i_arr, 1.0)
+            lw = y_t * jnp.log(safe_i) - i_arr - lgy_t
+            lw = jnp.where(
+                i_arr > 0.0, lw, jnp.where(y_t == 0.0, 0.0, neg)
+            )
+            return jnp.where(alive_mask, lw, neg)
 
-            # ---- stratum positions from the in-kernel PRNG ----
+        def draw_positions(ctr):
+            """Stratum positions from the in-kernel PRNG."""
             u, ctr = draw(1, ctr)
             if method == "stratified":
                 pos = (lane_f + u[0]) / alive_ct
@@ -293,21 +303,10 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
                 pos = (lane_f + u0) / alive_ct
             else:  # multinomial
                 pos = u[0]
-            pos = jnp.where(alive_mask, pos, 1.0)
+            return jnp.where(alive_mask, pos, 1.0), ctr
 
-            if "resample" in _DEBUG_SKIP:  # profiling stub: no selection
-                if "writes" not in _DEBUG_SKIP:
-                    ses_acc = jnp.where(
-                        est_mask,
-                        jnp.sum(w * s, axis=-1, keepdims=True), ses_acc,
-                    )
-                    sei_acc = jnp.where(
-                        est_mask,
-                        jnp.sum(w * i, axis=-1, keepdims=True), sei_acc,
-                    )
-                return s, i, loglike, dead, ctr, ses_acc, sei_acc
-
-            # ---- CDF (Hillis-Steele) + selection-matrix resample ----
+        def select(w, pos, s, i):
+            """CDF (Hillis-Steele) + telescoped inverse-CDF selection."""
             cdf = w
             shift = 1
             while shift < n:
@@ -367,6 +366,71 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
             # keeping dead lanes out of the Gillespie active set).
             s_res = jnp.where(alive_mask, s_res, 0.0)
             i_res = jnp.where(alive_mask, i_res, 0.0)
+            return s_res, i_res
+
+        # The day recursion is a fori_loop, not a python unroll: ten
+        # copies of the selection block made Mosaic compilation take
+        # minutes at B=128 (round 3); the rolled loop compiles ~10x less
+        # code with identical semantics (t-dependent scalar reads from
+        # SMEM, pl.ds column stores).
+        def day(t, carry):
+            s, i, loglike, dead, ctr, ses_acc, sei_acc = carry
+            est_mask = est_col == t + 1                       # [B, T+1]
+            y_t = y_ref[t]
+            lgy_t = lgy_ref[t]
+
+            # ---- propagate one observation interval ----
+            s, i, ctr = run_gillespie(s, i, ctr)
+
+            if algorithm == "APF":
+                # ---- auxiliary lookahead stage (core.py:419-478) ----
+                aux_lw = obs_logw(i, y_t, lgy_t)
+                mxa = jnp.max(aux_lw, axis=-1, keepdims=True)
+                # Degenerate aux weights kill the chain like degenerate
+                # main weights (the reference's sample() would error on
+                # all-zero probabilities; core.py maps it to -inf).
+                dead = jnp.maximum(
+                    dead, (mxa < degenerate).astype(jnp.float32)
+                )
+                sha = jnp.exp(aux_lw - mxa)
+                wa = sha / jnp.sum(sha, axis=-1, keepdims=True)
+                pos_a, ctr = draw_positions(ctr)
+                s, i = select(wa, pos_a, s, i)
+                # Ancestor aux weight, recomputed == gathered (see
+                # _make_kernel docstring).
+                aux_anc = obs_logw(i, y_t, lgy_t)
+                # Q2: second transition after the auxiliary resample.
+                s, i, ctr = run_gillespie(s, i, ctr)
+                lw = obs_logw(i, y_t, lgy_t) - aux_anc
+                lw = jnp.where(alive_mask, lw, neg)
+            else:
+                lw = obs_logw(i, y_t, lgy_t)
+
+            # ---- normalize + ESS + likelihood increment ----
+            mx = jnp.max(lw, axis=-1, keepdims=True)          # [B, 1]
+            dead = jnp.maximum(dead, (mx < degenerate).astype(jnp.float32))
+            shifted = jnp.exp(lw - mx)
+            ssum = jnp.sum(shifted, axis=-1, keepdims=True)
+            w = shifted / ssum
+            ess = 1.0 / jnp.sum(w * w, axis=-1, keepdims=True)
+            loglike = loglike + mx + jnp.log(ssum) - jnp.log(alive_ct)
+
+            pos, ctr = draw_positions(ctr)
+
+            if algorithm == "BPF" and "resample" in _DEBUG_SKIP:
+                # profiling stub: no selection
+                if "writes" not in _DEBUG_SKIP:
+                    ses_acc = jnp.where(
+                        est_mask,
+                        jnp.sum(w * s, axis=-1, keepdims=True), ses_acc,
+                    )
+                    sei_acc = jnp.where(
+                        est_mask,
+                        jnp.sum(w * i, axis=-1, keepdims=True), sei_acc,
+                    )
+                return s, i, loglike, dead, ctr, ses_acc, sei_acc
+
+            s_res, i_res = select(w, pos, s, i)
 
             if always_resample:
                 s, i = s_res, i_res
@@ -379,6 +443,26 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
                 est_w = jnp.where(
                     do_rows, jnp.where(alive_mask, 1.0 / alive_ct, 0.0), w
                 )
+
+            if algorithm == "RMPF":
+                # ---- in-kernel rejuvenation move (sir_move_fn) ----
+                u, ctr = draw(2, ctr)
+                span = np.float32(2 * move_step_max + 1)
+                step = jnp.floor(u[0] * span) - np.float32(move_step_max)
+                i_prop = i + step
+                in_support = jnp.logical_and(
+                    i_prop >= 0.0, i_prop <= np.float32(n_total) - s
+                )
+                log_ratio = obs_logw(
+                    jnp.maximum(i_prop, 0.0), y_t, lgy_t
+                ) - obs_logw(i, y_t, lgy_t)
+                accept = jnp.logical_and(
+                    in_support, jnp.log(u[1]) < log_ratio
+                )
+                # Masked lanes must stay inert: an accepted move there
+                # would re-activate them in the next day's Gillespie.
+                accept = jnp.logical_and(accept, alive_mask)
+                i = jnp.where(accept, i_prop, i)
 
             # ---- state estimate (Q5: uniform weights after a resample) --
             if est_w is None:
@@ -403,7 +487,7 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
 
 def _batched_call(seeds, lam, gam, alive, thr, s0, i0, y, lgy, *,
                   n_static, n_total, unroll, method, always_resample,
-                  interpret):
+                  interpret, algorithm="BPF", move_step_max=2):
     """seeds [C, 2] int32; lam/gam/alive/thr/s0/i0 [C] f32; y/lgy [T] f32."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -429,7 +513,8 @@ def _batched_call(seeds, lam, gam, alive, thr, s0, i0, y, lgy, *,
 
     kernel = _make_kernel(
         n, float(n_total), int(num_obs), int(unroll), method,
-        bool(always_resample), bool(interpret),
+        bool(always_resample), bool(interpret), algorithm=algorithm,
+        move_step_max=int(move_step_max),
     )
     space = pl.ANY if interpret else pltpu.VMEM
     smem = pl.ANY if interpret else pltpu.SMEM
@@ -495,10 +580,12 @@ def _batched_call(seeds, lam, gam, alive, thr, s0, i0, y, lgy, *,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_op(n_static, n_total, unroll, method, always_resample, interpret):
+def _make_op(n_static, n_total, unroll, method, always_resample, interpret,
+             algorithm, move_step_max):
     kw = dict(
         n_static=n_static, n_total=n_total, unroll=unroll, method=method,
         always_resample=always_resample, interpret=interpret,
+        algorithm=algorithm, move_step_max=move_step_max,
     )
 
     @jax.custom_batching.custom_vmap
@@ -514,8 +601,8 @@ def _make_op(n_static, n_total, unroll, method, always_resample, interpret):
               y, lgy):
         if in_batched[7] or in_batched[8]:
             raise ValueError(
-                "sir_bpf_sweep: y is shared across chains and cannot be "
-                "vmapped"
+                "sir_filter_sweep: y is shared across chains and cannot "
+                "be vmapped"
             )
 
         def ensure(x, batched):
@@ -535,7 +622,7 @@ def _make_op(n_static, n_total, unroll, method, always_resample, interpret):
     return op
 
 
-def sir_bpf_sweep(
+def sir_filter_sweep(
     key,
     y,
     num_particles,
@@ -543,30 +630,39 @@ def sir_bpf_sweep(
     gamma,
     n_total,
     init_infected,
+    algorithm: str = "BPF",
     max_particles: int | None = None,
     resample_fn: str = "stratified",
     resample_algorithm: str = "SISAR",
     threshold=None,
     unroll: int = 8,
+    move_step_max: int = 2,
     interpret: bool = False,
 ):
-    """Full SIR bootstrap-filter sweep in one fused TPU kernel (vmap-aware).
+    """Full SIR particle-filter sweep in one fused TPU kernel (vmap-aware).
 
     Drop-in fast path for the PMMH hot loop on the SIR model: returns
     ``(loglike, state_est [T+1, 2])`` with the same sampling distribution
-    as ``bootstrap_filter`` over ``sir_model(...)`` under the default
-    fresh-weight semantics (bit-streams differ — parity is distributional,
-    like every RNG-bearing path). ``num_particles`` may be a traced
-    per-chain count with ``max_particles`` the static lane bound (a
-    multiple of 128, <= 1024).
+    as ``bootstrap_filter`` / ``auxiliary_filter`` / ``resample_move_filter``
+    over ``sir_model(...)`` under the default fresh-weight semantics
+    (bit-streams differ — parity is distributional, like every RNG-bearing
+    path). The APF lookahead is ``sir_aux_log_likelihood_fn`` (the Poisson
+    observation density at the propagated infectious count) and the RMPF
+    move is ``sir_move_fn(n_total, move_step_max)`` — the models the
+    benchmark configs use. ``num_particles`` may be a traced per-chain
+    count with ``max_particles`` the static lane bound (a multiple of 128,
+    <= 1024). RMPF forces SISR (filters/resample_move.py:34-39 mirroring
+    /root/reference/R/resample_move_filter.R:213-230).
     """
+    if algorithm not in ("BPF", "APF", "RMPF"):
+        raise ValueError("algorithm must be one of ('BPF', 'APF', 'RMPF')")
     if resample_algorithm not in ("SISR", "SISAR"):
-        raise ValueError("sir_bpf_sweep supports SISR or SISAR only")
+        raise ValueError("sir_filter_sweep supports SISR or SISAR only")
     if resample_fn not in ("stratified", "systematic", "multinomial"):
         raise ValueError(f"unknown resample_fn {resample_fn!r}")
     if float(n_total) > _PACK - 2.0:
         raise ValueError(
-            f"sir_bpf_sweep requires n_total <= {int(_PACK) - 2} "
+            f"sir_filter_sweep requires n_total <= {int(_PACK) - 2} "
             "(packed-lane resampling bound)"
         )
     if max_particles is None:
@@ -595,8 +691,18 @@ def sir_bpf_sweep(
     s0 = jnp.asarray(float(n_total - init_infected), jnp.float32)
     i0 = jnp.asarray(float(init_infected), jnp.float32)
 
+    always = algorithm == "RMPF" or resample_algorithm == "SISR"
     op = _make_op(
         n_static, float(n_total), int(unroll), resample_fn,
-        resample_algorithm == "SISR", bool(interpret),
+        always, bool(interpret), algorithm, int(move_step_max),
     )
     return op(seeds, lam, gam, alive, thr, s0, i0, ys, lgy)
+
+
+def sir_bpf_sweep(key, y, num_particles, lam, gamma, n_total, init_infected,
+                  **kw):
+    """Bootstrap-filter specialization of :func:`sir_filter_sweep`."""
+    return sir_filter_sweep(
+        key, y, num_particles, lam, gamma, n_total, init_infected,
+        algorithm="BPF", **kw,
+    )

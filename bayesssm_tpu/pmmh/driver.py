@@ -187,7 +187,12 @@ def pmmh(
     bit-reproducibility contract (like ``checkpoint_every``): different
     chunkings compile different scans whose ULP-level reduction orders may
     flip individual MH accepts; results for a fixed (key, layout,
-    chunking) are exactly reproducible.
+    chunking) are exactly reproducible. When neither checkpointing nor
+    progress reporting is requested, the driver runs a fixed 128-step
+    chunk pipeline whose sample outputs copy device->host asynchronously
+    behind the next chunk's compute (and are trimmed to the post-burn-in
+    region on device), hiding the sample-transfer latency that round-3
+    profiling measured at ~19% of the public driver's step cost.
 
     ``pf_impl`` optionally replaces the generic filter evaluator in BOTH
     phases with a custom one sharing ``_make_pf_loglike``'s signature and
@@ -500,7 +505,32 @@ def pmmh(
 
     if progress_every is None and verbose:
         progress_every = min(500, m)
-    chunk_size = checkpoint_every or progress_every or (m - steps_done) or 1
+    # Fast path (no per-chunk host work requested): pipeline the sampling
+    # scan in ~128-step chunks whose outputs start their device->host
+    # copies asynchronously while the NEXT chunk computes. The final
+    # np.asarray then finds most bytes already on the host — round 3
+    # measured the synchronous end-of-run sample fetch at ~1.9 ms/step
+    # through the remote tunnel, ~19% of the public driver's step cost.
+    # Nothing is synced inside the loop (acceptance sums stay on device),
+    # so the device queue never drains between chunks. Chunk layout is
+    # part of the bit-reproducibility contract (see docstring); this
+    # default is fixed per version.
+    fast_path = checkpoint_path is None and progress_every is None
+    if fast_path:
+        chunk_size = min(128, m - steps_done) or 1
+    else:
+        chunk_size = (
+            checkpoint_every or progress_every or (m - steps_done) or 1
+        )
+
+    def _async_to_host(tree):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:
+                pass
+
+    pending_accepts = []
     sampling_timer = timer.phase("sampling")
     sampling_timer.__enter__()
     while steps_done < m:
@@ -510,12 +540,33 @@ def pmmh(
         )
         if return_latent_state_est:
             thetas, ses, accepts = outs
-            state_samples.append(np.asarray(ses))  # [C, length, T+1(, d)]
         else:
             thetas, accepts = outs
+            ses = None
+        steps_done += length
+        if fast_path:
+            # Only the post-burn-in slice ever reaches the host output
+            # (checkpointing is off, so nothing needs the burned prefix);
+            # slicing on DEVICE trims the transfer before it starts.
+            keep_from = burn_in - (steps_done - length)
+            if keep_from >= length:
+                thetas = None
+                ses = None
+            elif keep_from > 0:
+                thetas = thetas[:, keep_from:]
+                ses = ses[:, keep_from:] if ses is not None else None
+            accepts = jnp.sum(accepts, axis=1)
+            _async_to_host((thetas, ses, accepts))
+            theta_samples.append(thetas)
+            if return_latent_state_est:
+                state_samples.append(ses)
+            pending_accepts.append(accepts)
+            continue
+
+        if return_latent_state_est:
+            state_samples.append(np.asarray(ses))  # [C, length, T+1(, d)]
         theta_samples.append(np.asarray(thetas))
         accept_total += np.asarray(jnp.sum(accepts, axis=1))
-        steps_done += length
         if verbose:
             # Live progress (R/pmmh.R:347-352 analogue): step counter plus
             # acceptance over this chunk and cumulatively, across chains.
@@ -549,8 +600,24 @@ def pmmh(
                 },
             )
 
+    if fast_path:
+        # The initial sample (global chain index 0) obeys the same
+        # burn-in rule as the sliced chunks.
+        if burn_in >= 1:
+            theta_samples = theta_samples[1:]
+            if return_latent_state_est:
+                state_samples = state_samples[1:]
+        theta_samples = [
+            np.asarray(t) for t in theta_samples if t is not None
+        ]
+        if return_latent_state_est:
+            state_samples = [
+                np.asarray(s) for s in state_samples if s is not None
+            ]
+        for a in pending_accepts:
+            accept_total += np.asarray(a)
     sampling_timer.__exit__(None, None, None)
-    theta_chains = np.concatenate(theta_samples, axis=1)  # [C, m, P]
+    theta_chains = np.concatenate(theta_samples, axis=1)
     state_chains = (
         np.concatenate(state_samples, axis=1)
         if return_latent_state_est else None
@@ -558,7 +625,9 @@ def pmmh(
     accept_rates = accept_total / max(m - 1, 1)
 
     # ---------------- post-processing (R/pmmh.R:540-627) ----------------
-    post = theta_chains[:, burn_in:, :]  # [C, m_post, P]
+    # Fast path arrays were already trimmed to the post-burn-in region on
+    # device; otherwise theta_chains is the full [C, m, P] chain.
+    post = theta_chains if fast_path else theta_chains[:, burn_in:, :]
     theta_chain_dict = {
         p: post[:, :, j] for j, p in enumerate(param_names)
     }
@@ -583,7 +652,8 @@ def pmmh(
         theta_chain=theta_chain_dict,
         diagnostics={"ess": param_ess, "rhat": param_rhat},
         latent_state_chain=(
-            np.asarray(state_chains)[:, burn_in:] if return_latent_state_est
+            (state_chains if fast_path else state_chains[:, burn_in:])
+            if return_latent_state_est
             else None
         ),
         acceptance_rate=accept_rates,

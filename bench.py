@@ -53,11 +53,14 @@ def _build_pf_loglike(config, ys, particles, transition):
         sir_move_fn,
     )
 
-    # The whole-sweep fused kernel implements BPF only; APF/RMPF fall
-    # back to the per-day gillespie_pallas + fused-resample path.
-    if transition == "sir_sweep" and config in ("bpf", "pmmh"):
-        from bayesssm_tpu.ops.sir_sweep_pallas import sir_bpf_sweep
+    # The whole-sweep fused kernel serves every filter variant: BPF, the
+    # APF's Q2 double-transition + aux-resample stage, and the RMPF's
+    # forced-SISR + in-kernel rejuvenation move.
+    if transition == "sir_sweep":
+        from bayesssm_tpu.ops.sir_sweep_pallas import sir_filter_sweep
 
+        algo = {"bpf": "BPF", "pmmh": "BPF", "apf": "APF",
+                "rmpf": "RMPF"}[config]
         _, log_priors, _ = sir_model(n_total=500, init_infected=70)
         param_names = list(log_priors)
         prior_fns = [log_priors[p] for p in param_names]
@@ -66,16 +69,13 @@ def _build_pf_loglike(config, ys, particles, transition):
         ys_sweep = jnp.asarray(ys, dtype=jnp.float32)
 
         def pf_loglike(key, theta_vec):
-            ll, _ = sir_bpf_sweep(
+            ll, _ = sir_filter_sweep(
                 key, ys_sweep, particles, theta_vec[j_lam],
-                theta_vec[j_gam], 500, 70,
+                theta_vec[j_gam], 500, 70, algorithm=algo,
             )
             return ll
 
         return pf_loglike, prior_fns
-
-    if transition == "sir_sweep":
-        transition = "gillespie_pallas"
     (init_fn, transition_fn, loglik_fn), log_priors, _ = sir_model(
         n_total=500, init_infected=70, transition=transition
     )
@@ -311,8 +311,8 @@ def main():
         "--transition", default="sir_sweep",
         choices=["gillespie", "gillespie_pallas", "tauleap", "sir_sweep"],
         help="SIR filter path (sir_sweep = whole-sweep fused kernel, the "
-             "fast default for bpf/pmmh; gillespie_pallas = per-day "
-             "kernel pair; apf/rmpf always use a per-day path)",
+             "fast default for every config; gillespie_pallas = per-day "
+             "kernel pair)",
     )
     ap.add_argument("--baseline-steps", type=int, default=20)
     ap.add_argument("--baseline-reps", type=int, default=3)

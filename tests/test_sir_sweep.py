@@ -12,9 +12,16 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from bayesssm_tpu.filters.auxiliary import auxiliary_filter
 from bayesssm_tpu.filters.bootstrap import bootstrap_filter
-from bayesssm_tpu.models.sir import simulate_sir, sir_model
-from bayesssm_tpu.ops.sir_sweep_pallas import sir_bpf_sweep
+from bayesssm_tpu.filters.resample_move import resample_move_filter
+from bayesssm_tpu.models.sir import (
+    simulate_sir,
+    sir_aux_log_likelihood_fn,
+    sir_model,
+    sir_move_fn,
+)
+from bayesssm_tpu.ops.sir_sweep_pallas import sir_bpf_sweep, sir_filter_sweep
 
 N_TOTAL, I0, N = 100, 10, 128
 LAM, GAM = 0.4, 0.25
@@ -30,7 +37,7 @@ def _sweep_batch(ys, c, key=0, **kw):
     keys = jax.random.split(jax.random.key(key), c)
 
     def one(k):
-        return sir_bpf_sweep(
+        return sir_filter_sweep(
             k, ys, kw.pop("num_particles", N), LAM, GAM, N_TOTAL, I0,
             interpret=True, **kw,
         )
@@ -38,39 +45,108 @@ def _sweep_batch(ys, c, key=0, **kw):
     return jax.jit(jax.vmap(one))(keys)
 
 
-def _core_batch(ys, c, key=1, num_particles=N, max_particles=None):
+def _core_batch(ys, c, key=1, num_particles=N, max_particles=None,
+                algorithm="BPF"):
     (init_fn, transition_fn, loglik_fn), _, _ = sir_model(
         n_total=N_TOTAL, init_infected=I0
     )
     keys = jax.random.split(jax.random.key(key), c)
+    theta = {"lam": LAM, "gamma": GAM}
 
     def one(k):
-        r = bootstrap_filter(
-            k, ys, num_particles, init_fn, transition_fn, loglik_fn,
-            theta={"lam": LAM, "gamma": GAM}, return_particles=False,
-            max_particles=max_particles,
-        )
+        if algorithm == "APF":
+            r = auxiliary_filter(
+                k, ys, num_particles, init_fn, transition_fn, loglik_fn,
+                aux_log_likelihood_fn=sir_aux_log_likelihood_fn,
+                theta=theta, return_particles=False,
+                max_particles=max_particles,
+            )
+        elif algorithm == "RMPF":
+            r = resample_move_filter(
+                k, ys, num_particles, init_fn, transition_fn, loglik_fn,
+                move_fn=sir_move_fn(N_TOTAL), theta=theta,
+                return_particles=False, max_particles=max_particles,
+            )
+        else:
+            r = bootstrap_filter(
+                k, ys, num_particles, init_fn, transition_fn, loglik_fn,
+                theta=theta, return_particles=False,
+                max_particles=max_particles,
+            )
         return r.loglike, r.state_est
 
     return jax.jit(jax.vmap(one))(keys)
+
+
+def _assert_distributional_match(ll_s, se_s, ll_c, se_c, c):
+    assert bool(jnp.isfinite(ll_s).all())
+    se_tol = 4.0 * float(
+        np.hypot(np.std(np.asarray(ll_s)), np.std(np.asarray(ll_c)))
+    ) / np.sqrt(c)
+    assert abs(float(ll_s.mean() - ll_c.mean())) < se_tol
+    np.testing.assert_allclose(
+        np.asarray(se_s.mean(axis=0)), np.asarray(se_c.mean(axis=0)),
+        rtol=0.05, atol=0.5,
+    )
 
 
 def test_matches_core_filter_distributionally(ys):
     c = 192
     ll_s, se_s = _sweep_batch(ys, c)
     ll_c, se_c = _core_batch(ys, c)
-    assert bool(jnp.isfinite(ll_s).all())
     # Unbiased log-likelihood estimators of the same marginal likelihood:
-    # means agree within a few combined standard errors.
-    se_tol = 4.0 * float(
-        np.hypot(np.std(np.asarray(ll_s)), np.std(np.asarray(ll_c)))
-    ) / np.sqrt(c)
-    assert abs(float(ll_s.mean() - ll_c.mean())) < se_tol
-    # Filtered state trajectories agree within MC error.
-    np.testing.assert_allclose(
-        np.asarray(se_s.mean(axis=0)), np.asarray(se_c.mean(axis=0)),
-        rtol=0.05, atol=0.5,
-    )
+    # means agree within a few combined standard errors; filtered state
+    # trajectories agree within MC error.
+    _assert_distributional_match(ll_s, se_s, ll_c, se_c, c)
+
+
+def test_apf_matches_core_filter_distributionally(ys):
+    """Sweep APF vs the generic engine's APF (Q2 double transition,
+    aux resample, corrected weights) — same sampling distribution."""
+    c = 192
+    ll_s, se_s = _sweep_batch(ys, c, key=21, algorithm="APF")
+    ll_c, se_c = _core_batch(ys, c, key=22, algorithm="APF")
+    _assert_distributional_match(ll_s, se_s, ll_c, se_c, c)
+
+
+def test_rmpf_matches_core_filter_distributionally(ys):
+    """Sweep RMPF vs the generic engine's RMPF (forced SISR + Metropolis
+    rejuvenation move on I) — same sampling distribution."""
+    c = 192
+    ll_s, se_s = _sweep_batch(ys, c, key=23, algorithm="RMPF")
+    ll_c, se_c = _core_batch(ys, c, key=24, algorithm="RMPF")
+    _assert_distributional_match(ll_s, se_s, ll_c, se_c, c)
+
+
+def test_apf_rmpf_masked_lanes(ys):
+    """Traced num_particles under the static bound, APF/RMPF variants."""
+    c = 160
+    keys = jax.random.split(jax.random.key(25), c)
+    for algorithm in ("APF", "RMPF"):
+        def one(k, n_alive):
+            return sir_filter_sweep(
+                k, ys, n_alive, LAM, GAM, N_TOTAL, I0, max_particles=N,
+                algorithm=algorithm, interpret=True,
+            )
+
+        ll_m, _ = jax.jit(jax.vmap(one))(keys, jnp.full((c,), 64.0))
+        ll_c, _ = _core_batch(
+            ys, c, key=26, num_particles=64, algorithm=algorithm
+        )
+        assert bool(jnp.isfinite(ll_m).all()), algorithm
+        se_tol = 4.0 * float(
+            np.hypot(np.std(np.asarray(ll_m)), np.std(np.asarray(ll_c)))
+        ) / np.sqrt(c)
+        assert abs(float(ll_m.mean() - ll_c.mean())) < se_tol, algorithm
+
+
+def test_apf_degenerate_observation_gives_neg_inf(ys):
+    """An impossible observation drives the aux stage degenerate: the
+    whole chain dies (-inf), matching core.py's aux-degeneracy contract."""
+    y_bad = ys.at[2].set(1.0e7)
+    ll, se = _sweep_batch(y_bad, 4, algorithm="APF")
+    assert bool(jnp.isinf(ll).all()) and bool((ll < 0).all())
+    assert np.allclose(np.asarray(se)[:, 3:], 0.0)
 
 
 def test_deterministic_per_key(ys):
@@ -153,8 +229,10 @@ def test_pf_impl_factory_validation(ys):
         carry_weights=False,
     )
     factory(**kw)  # valid config builds
-    with pytest.raises(ValueError, match="BPF only"):
-        factory(**{**kw, "algorithm": "APF"})
+    factory(**{**kw, "algorithm": "APF"})   # every filter variant builds
+    factory(**{**kw, "algorithm": "RMPF"})
+    with pytest.raises(ValueError, match="BPF, APF or RMPF"):
+        factory(**{**kw, "algorithm": "SIS"})
     with pytest.raises(ValueError, match="contiguous"):
         factory(**{**kw, "obs_times": [1, 3]})
     with pytest.raises(ValueError, match="fresh-weight"):
