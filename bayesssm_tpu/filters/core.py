@@ -140,9 +140,22 @@ jax.tree_util.register_dataclass(
 
 
 def _resolve_obs_times(obs_times, num_obs: int) -> np.ndarray:
+    """Validate observation times (the reference's checkmate assertions,
+    /root/reference/R/particle_filter_core.R:55-60 /
+    tests/testthat/test-bootstrap_filter.R:73-112)."""
     if obs_times is None:
         return np.arange(1, num_obs + 1, dtype=np.int64)
-    ot = np.asarray(obs_times, dtype=np.int64)
+    try:
+        ot_raw = np.asarray(obs_times)
+        if not np.issubdtype(ot_raw.dtype, np.number):
+            raise TypeError
+    except (TypeError, ValueError):
+        raise ValueError("obs_times must be numeric integers") from None
+    if not np.all(ot_raw == np.floor(ot_raw)):
+        # The reference rejects fractional times; a silent int cast here
+        # would change which transitions the gap loop runs.
+        raise ValueError("obs_times must be integers")
+    ot = ot_raw.astype(np.int64)
     if ot.ndim != 1 or ot.shape[0] != num_obs:
         raise ValueError("obs_times must have one entry per observation")
     if (ot < 1).any() or (np.diff(ot) <= 0).any():
@@ -283,9 +296,21 @@ def particle_filter_core(
     # particle, /root/reference/R/particle_filter_core.R:226-234).
     move = adapt_move_fn(move_fn) if move_fn is not None else None
 
+    if not isinstance(y, jax.core.Tracer):
+        # assert_numeric(y), /root/reference/R/particle_filter_core.R:52.
+        # Tracers (y traced through a user's jit) are numeric by
+        # construction and cannot be materialized here.
+        try:
+            y_host = np.asarray(y)
+            if not np.issubdtype(y_host.dtype, np.number):
+                raise TypeError
+        except (TypeError, ValueError):
+            raise ValueError("y must be numeric") from None
     ys = jnp.asarray(y)
     if ys.ndim == 1:
         ys = ys[:, None]
+    if ys.ndim != 2:
+        raise ValueError("y must be a [T] vector or [T, d_y] matrix")
     num_obs, d_y = ys.shape
     if num_obs < 1:
         raise ValueError("y must contain at least one observation")
@@ -360,12 +385,18 @@ def particle_filter_core(
             and n_static % 128 == 0
             and n_static <= MAX_FUSED_LANES
             and resample_algorithm != "SIS"
+            and resample_fn != "metropolis"
             and dtype == jnp.float32
         )
     elif use_fused == "interpret-inkernel":
         fused_enabled = True
     else:
         fused_enabled = bool(use_fused)
+    if fused_enabled and resample_fn == "metropolis":
+        raise ValueError(
+            "the fused Pallas path implements inverse-CDF selection only; "
+            "use_fused must be False/'auto' with resample_fn='metropolis'"
+        )
     if sharded:
         # The fused kernel is single-shard (its CDF/selection is local);
         # the sharded weight step runs the collective portable path.

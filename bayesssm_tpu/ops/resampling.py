@@ -39,7 +39,7 @@ __all__ = [
     "RESAMPLE_METHODS",
 ]
 
-RESAMPLE_METHODS = ("stratified", "systematic", "multinomial")
+RESAMPLE_METHODS = ("stratified", "systematic", "multinomial", "metropolis")
 
 
 def _validate_weights_eager(weights) -> None:
@@ -66,35 +66,65 @@ def _validate_weights_eager(weights) -> None:
 def metropolis_resample_indices(
     key: jax.Array,
     weights: jnp.ndarray,
-    num_steps: int = 32,
+    num_steps: int | None = None,
+    num_alive: jnp.ndarray | None = None,
+    num_out: int | None = None,
 ) -> jnp.ndarray:
     """Metropolis resampling (Murray 2012, arXiv:1202.6163).
 
-    A collective-free alternative to inverse-CDF resampling: every output
-    slot runs ``num_steps`` Metropolis steps over ancestor indices with
+    A sort-free alternative to inverse-CDF resampling: every output slot
+    runs ``num_steps`` Metropolis steps over ancestor indices with
     acceptance ratio ``w_proposal / w_current`` — no cumulative sum, no
     sorted lookups, fully lane-parallel, which makes it attractive on very
     wide accelerators and for sharded particle populations. The chain
     targets the correct categorical distribution; finite ``num_steps``
-    introduces a small, geometrically-decaying bias (choose num_steps ~
-    log(n) / log(1/beta); 32 is ample for the particle counts here).
+    introduces a small bias that decays ~1/num_steps (round-4 LGSS
+    calibration: +1.04 nats log-likelihood bias at 32 steps, +0.11 at
+    256, roughly ~35/num_steps and nearly constant in n between 512 and
+    2048 lanes). The default ``num_steps = max(256, n // 8)`` keeps the
+    bias at the ~0.1-nat level for the weight profiles tested; raise it
+    for heavily concentrated weights.
 
-    Not part of the reference's surface (it ships only
-    multinomial/stratified/systematic); provided as an extra method.
+    Not part of the reference's surface (it ships only multinomial/
+    stratified/systematic); reachable through every filter as
+    ``resample_fn="metropolis"`` (portable and particle-sharded paths;
+    the fused Pallas kernels keep their inverse-CDF selection).
+
+    ``num_alive`` restricts proposals to the first ``num_alive`` lanes
+    (masked-lane semantics, SURVEY.md Q9). ``num_out`` sets the number of
+    output slots (default: one per weight lane) — the sharded path uses
+    it to run only its own slots' chains against the global weights.
     """
     weights = jnp.asarray(weights)
     n = weights.shape[-1]
+    if num_steps is None:
+        num_steps = max(256, n // 8)
+    n_out = n if num_out is None else int(num_out)
     batch_shape = weights.shape[:-1]
-    idx0 = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32), batch_shape + (n,)
+    dtype = weights.dtype
+    if num_alive is None:
+        alive_f = jnp.full(batch_shape + (1,), n, dtype=dtype)
+    else:
+        alive_f = jnp.broadcast_to(
+            jnp.asarray(num_alive, dtype=dtype), batch_shape
+        )[..., None]
+    last_alive = (alive_f - 1.0).astype(jnp.int32)
+    idx0 = jnp.minimum(
+        jnp.broadcast_to(
+            jnp.arange(n_out, dtype=jnp.int32), batch_shape + (n_out,)
+        ),
+        last_alive,
     )
 
     def step(idx, k):
         k_u, k_p = jax.random.split(k)
-        proposal = jax.random.randint(
-            k_p, batch_shape + (n,), 0, n, dtype=jnp.int32
+        # floor(u * num_alive): uniform over the alive lanes even when
+        # num_alive is traced (randint needs static bounds).
+        up = jax.random.uniform(k_p, batch_shape + (n_out,), dtype=dtype)
+        proposal = jnp.minimum(
+            jnp.floor(up * alive_f).astype(jnp.int32), last_alive
         )
-        u = jax.random.uniform(k_u, batch_shape + (n,), dtype=weights.dtype)
+        u = jax.random.uniform(k_u, batch_shape + (n_out,), dtype=dtype)
         w_cur = jnp.take_along_axis(weights, idx, axis=-1)
         w_prop = jnp.take_along_axis(weights, proposal, axis=-1)
         accept = u * w_cur < w_prop
@@ -166,6 +196,10 @@ def resample_indices(
         num_alive = jnp.broadcast_to(
             jnp.asarray(num_alive, dtype=dtype), batch_shape
         )
+    if method == "metropolis":
+        return metropolis_resample_indices(
+            key, weights, num_alive=num_alive
+        )
     cdf = jnp.cumsum(weights, axis=-1)
     pos = _positions(key, method, batch_shape, n, num_alive, dtype)
     idx = _batched_searchsorted(cdf, pos)
@@ -215,6 +249,15 @@ def sharded_resample_indices(
     w_all = lax.all_gather(weights_local, axis_name, axis=0, tiled=True)
     n_global = w_all.shape[0]
     num_alive = jnp.asarray(num_alive, dtype=dtype)
+    if method == "metropolis":
+        # Each shard runs the Metropolis chains for ITS OWN output slots
+        # over the gathered global weights; per-shard streams derive from
+        # fold_in(key, shard) (bit-reproducible per layout, statistically
+        # invariant across layouts — the chain RNG convention).
+        k_shard = jax.random.fold_in(key, lax.axis_index(axis_name))
+        return metropolis_resample_indices(
+            k_shard, w_all, num_alive=num_alive, num_out=n_local
+        )
     # Positions for ALL global slots (shard-identical RNG), then slice this
     # shard's slots — reusing _positions keeps the masked-lane semantics
     # (dead slots aim at the CDF end and clamp onto the last alive lane).

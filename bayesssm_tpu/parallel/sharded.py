@@ -74,7 +74,9 @@ def sharded_particle_filter(
     """
     if resample_algorithm not in ("SIS", "SISR", "SISAR"):
         raise ValueError("resample_algorithm must be SIS, SISR or SISAR")
-    if resample_fn not in ("systematic", "stratified", "multinomial"):
+    from bayesssm_tpu.ops.resampling import RESAMPLE_METHODS
+
+    if resample_fn not in RESAMPLE_METHODS:
         raise ValueError("unknown resample_fn")
 
     cs = mesh.shape["chains"]

@@ -258,9 +258,12 @@ def pmmh(
     else:
         root_key = seed
         seed_out = None
-    chain_keys = jax.vmap(lambda c: jax.random.fold_in(root_key, c))(
-        jnp.arange(num_chains)
-    )
+    # Per-chain keys derive from fold_in(root_key, chain_id) INSIDE the
+    # jitted phases (phases take the chain-id vector, not a key array):
+    # key arrays produced on the host are committed to a local device and
+    # cannot be re-laid-out onto a process-spanning mesh, while the id
+    # vector shards like any other per-chain input. Same bits either way.
+    chain_ids = jnp.arange(num_chains)
 
     model_fns = (
         init_fn, transition_fn, log_likelihood_fn,
@@ -269,17 +272,28 @@ def pmmh(
     ys = jnp.asarray(y)
 
     ps = 1
+    multiprocess = False
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         chain_sharding = NamedSharding(mesh, P(chain_axis))
-        chain_keys = jax.device_put(chain_keys, chain_sharding)
-        theta0 = jax.device_put(jnp.asarray(theta0), chain_sharding)
         ps = int(dict(mesh.shape).get(particle_axis, 1))
+        multiprocess = any(
+            d.process_index != jax.process_index()
+            for d in mesh.devices.flat
+        )
+        if not multiprocess:
+            chain_ids = jax.device_put(chain_ids, chain_sharding)
+            theta0 = jax.device_put(jnp.asarray(theta0), chain_sharding)
         if ps > 1 and pf_impl is not None:
             raise ValueError(
                 "pf_impl evaluators are single-shard; use a mesh whose "
                 f"'{particle_axis}' axis has size 1"
+            )
+        if multiprocess and checkpoint_path is not None:
+            raise ValueError(
+                "checkpointing is not supported on a process-spanning "
+                "mesh; run checkpointed sampling single-process"
             )
 
     # Phases run inside shard_map when (a) the particle axis is sharded
@@ -319,9 +333,38 @@ def pmmh(
                     check_vma=False,
                 )
             )
+    elif multiprocess:
+        # Host inputs (numpy / uncommitted) enter sharded over the global
+        # mesh via in_shardings; every output is a per-chain array and
+        # leaves chain-sharded.
+        def _wrap_phase(fn, n_in):
+            return jax.jit(
+                fn,
+                in_shardings=(chain_sharding,) * n_in,
+                out_shardings=chain_sharding,
+            )
     else:
         def _wrap_phase(fn, n_in):
             return jax.jit(fn)
+
+    # Host fetch: identical to np.asarray on one process; when the mesh
+    # spans OS processes (multi-controller SPMD, parallel/distributed.py)
+    # device outputs are chain-sharded global arrays that no single
+    # process fully addresses, so host syncs go through a process
+    # all-gather — every process then holds the identical full result,
+    # the lift of the reference's per-worker chain collection
+    # (/root/reference/R/pmmh.R:512-531).
+    if multiprocess:
+        from jax.experimental import multihost_utils
+
+        def _fetch(x):
+            if getattr(x, "is_fully_addressable", True):
+                return np.asarray(x)
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)
+            )
+    else:
+        _fetch = np.asarray
 
     # ---------------- resume path ----------------
     resume_state = None
@@ -345,7 +388,8 @@ def pmmh(
     if verbose and resume_state is None:
         print(f"Running pilot chains for tuning ({num_chains} chains)...")
 
-    def tuning_phase(key, th0):
+    def tuning_phase(cid, th0):
+        key = jax.random.fold_in(root_key, cid)
         return run_pilot_chain(
             key, ys, param_names, model_fns, prior_fns, th0, transforms,
             tune_control, obs_times=obs_times, algorithm=algorithm,
@@ -360,12 +404,12 @@ def pmmh(
     if resume_state is None:
         with timer.phase("tuning"):
             tuned = _wrap_phase(jax.vmap(tuning_phase), 2)(
-                chain_keys, jnp.asarray(theta0)
+                chain_ids, jnp.asarray(theta0)
             )
             jax.block_until_ready(tuned["target_n"])
-        theta_mean = np.asarray(tuned["pilot_theta_mean"], dtype=np.float64)
-        theta_cov = np.asarray(tuned["pilot_theta_cov"], dtype=np.float64)
-        target_n = np.asarray(tuned["target_n"], dtype=np.int64)
+        theta_mean = _fetch(tuned["pilot_theta_mean"]).astype(np.float64)
+        theta_cov = _fetch(tuned["pilot_theta_cov"]).astype(np.float64)
+        target_n = _fetch(tuned["target_n"]).astype(np.int64)
 
         if verbose:
             for c in range(num_chains):
@@ -433,13 +477,14 @@ def pmmh(
         se = jnp.where(accept, se_prop, se)
         return key, theta, ll, se, accept
 
-    def _init_eval(keys, th_means, n_chains):
-        def one(key, th, n):
+    def _init_eval(cids, th_means, n_chains):
+        def one(cid, th, n):
+            key = jax.random.fold_in(root_key, cid)
             key, k0 = jax.random.split(key)
             ll0, se0 = pf(k0, th.astype(jnp.float32), n=n)
             return key, th.astype(jnp.float32), ll0, se0
 
-        return jax.vmap(one)(keys, th_means, n_chains)
+        return jax.vmap(one)(cids, th_means, n_chains)
 
     init_eval = _wrap_phase(_init_eval, 3)
 
@@ -472,18 +517,18 @@ def pmmh(
     n_chain_arr = jnp.asarray(target_n, dtype=jnp.float32)
     factors = jnp.asarray(prop_factors)
     th_means = jnp.asarray(theta_mean, dtype=jnp.float32)
-    if mesh is not None:
+    if mesh is not None and not multiprocess:
         n_chain_arr = jax.device_put(n_chain_arr, chain_sharding)
         factors = jax.device_put(factors, chain_sharding)
         th_means = jax.device_put(th_means, chain_sharding)
 
     if resume_state is None:
         cur_keys, cur_theta, cur_ll, cur_se = init_eval(
-            chain_keys, th_means, n_chain_arr
+            chain_ids, th_means, n_chain_arr
         )
-        theta_samples = [np.asarray(cur_theta)[:, None, :]]  # [C, 1, P]
+        theta_samples = [_fetch(cur_theta)[:, None, :]]  # [C, 1, P]
         state_samples = (
-            [np.asarray(cur_se)[:, None]] if return_latent_state_est else None
+            [_fetch(cur_se)[:, None]] if return_latent_state_est else None
         )
         accept_total = np.zeros(num_chains)
         steps_done = 1
@@ -527,8 +572,8 @@ def pmmh(
         for leaf in jax.tree_util.tree_leaves(tree):
             try:
                 leaf.copy_to_host_async()
-            except AttributeError:
-                pass
+            except (AttributeError, RuntimeError):
+                pass  # non-addressable shards fetch via _fetch instead
 
     pending_accepts = []
     sampling_timer = timer.phase("sampling")
@@ -564,13 +609,13 @@ def pmmh(
             continue
 
         if return_latent_state_est:
-            state_samples.append(np.asarray(ses))  # [C, length, T+1(, d)]
-        theta_samples.append(np.asarray(thetas))
-        accept_total += np.asarray(jnp.sum(accepts, axis=1))
+            state_samples.append(_fetch(ses))  # [C, length, T+1(, d)]
+        theta_samples.append(_fetch(thetas))
+        accept_total += _fetch(jnp.sum(accepts, axis=1))
         if verbose:
             # Live progress (R/pmmh.R:347-352 analogue): step counter plus
             # acceptance over this chunk and cumulatively, across chains.
-            chunk_acc = float(np.mean(np.asarray(accepts)))
+            chunk_acc = float(np.mean(_fetch(accepts)))
             cum_acc = float(accept_total.mean()) / max(steps_done - 1, 1)
             print(
                 f"Sampling: {steps_done}/{m} steps — acceptance "
@@ -608,14 +653,14 @@ def pmmh(
             if return_latent_state_est:
                 state_samples = state_samples[1:]
         theta_samples = [
-            np.asarray(t) for t in theta_samples if t is not None
+            _fetch(t) for t in theta_samples if t is not None
         ]
         if return_latent_state_est:
             state_samples = [
-                np.asarray(s) for s in state_samples if s is not None
+                _fetch(s) for s in state_samples if s is not None
             ]
         for a in pending_accepts:
-            accept_total += np.asarray(a)
+            accept_total += _fetch(a)
     sampling_timer.__exit__(None, None, None)
     theta_chains = np.concatenate(theta_samples, axis=1)
     state_chains = (

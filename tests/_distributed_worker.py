@@ -71,6 +71,21 @@ def main():
     )(ll)
     assert np.isfinite(float(ll_sum)), float(ll_sum)
 
+    # ---- the FULL public pmmh() across the 2-process mesh ----
+    # The lift of the reference's cores-invariance contract
+    # (/root/reference/tests/testthat/test-pmmh.R:468-503): the tuned
+    # two-phase driver (pilot tuning, host sync, chunked sampling) runs
+    # end-to-end on a process-spanning chains mesh; every process gathers
+    # the identical full chain array. The parent test asserts both
+    # workers' digests agree, and compares them against the same-seed
+    # single-process run.
+    from _pmmh_dist_config import digest, run_pmmh_dist
+
+    pmmh_mesh = global_chain_mesh(particle_axis_size=1)
+    assert dict(pmmh_mesh.shape)["chains"] == 4
+    out = run_pmmh_dist(pmmh_mesh)
+    print(f"PMMH DIGEST {digest(out)}", flush=True)
+
     jax.distributed.shutdown()
     print(f"WORKER {pid} OK", flush=True)
 

@@ -156,8 +156,13 @@ class TestKalmanParity:
         lls = np.asarray(f(keys), dtype=np.float64)
         assert lls.mean() < truth
 
-    @pytest.mark.parametrize("method", ["stratified", "systematic", "multinomial"])
+    @pytest.mark.parametrize(
+        "method", ["stratified", "systematic", "multinomial", "metropolis"]
+    )
     def test_all_resamplers_consistent(self, lgss_data, method):
+        # "metropolis" (Murray 2012) is the repo's extra sort-free method,
+        # reachable through the core since round 4; default num_steps must
+        # keep the likelihood estimator unbiased at this scale.
         truth = kalman_loglik(lgss_data, A, C, SX, SY)
         keys = jax.random.split(jax.random.key(4), 8)
         f = jax.jit(
@@ -248,6 +253,66 @@ class TestGapsAndMasking:
         )
         lls = np.asarray(f(keys), dtype=np.float64)
         assert abs(lls.mean() - truth) < 0.5
+
+
+class TestMultivariateObservations:
+    """Matrix-y (d_y > 1) through the core, against an exact multivariate
+    Kalman filter — the reference feeds ``y[i, ]`` rows the same way
+    (/root/reference/R/particle_filter_core.R:176-183)."""
+
+    def test_loglik_matches_multivariate_kalman(self):
+        from bayesssm_tpu.models.lgss import lgss_mv_model, simulate_lgss_mv
+        from bayesssm_tpu.utils.kalman import kalman_loglik_mv
+
+        c_vec = (1.0, 0.5)
+        _, y = simulate_lgss_mv(7, t_val=20, c_vec=c_vec)
+        assert y.shape == (20, 2)
+        (init_fn, trans_fn, loglik_fn), _, _ = lgss_mv_model(c_vec=c_vec)
+        truth = kalman_loglik_mv(y, A, c_vec, SX, (SY, SY), p0=1.0)
+        theta = {"a": A, "sigma_x": SX, "sigma_y": SY}
+        keys = jax.random.split(jax.random.key(3), 24)
+        f = jax.jit(
+            jax.vmap(
+                lambda k: bootstrap_filter(
+                    k, y, 4096, init_fn, trans_fn, loglik_fn, theta=theta,
+                    resample_algorithm="SISR", return_particles=False,
+                ).loglike
+            )
+        )
+        lls = np.asarray(f(keys), dtype=np.float64)
+        assert abs(lls.mean() - truth) < 0.2, (lls.mean(), truth)
+
+    def test_matrix_y_output_contract(self):
+        from bayesssm_tpu.models.lgss import lgss_mv_model, simulate_lgss_mv
+
+        _, y = simulate_lgss_mv(9, t_val=6)
+        (init_fn, trans_fn, loglik_fn), _, _ = lgss_mv_model()
+        res = bootstrap_filter(
+            jax.random.key(0), y, 128, init_fn, trans_fn, loglik_fn,
+            theta={"a": A, "sigma_x": SX, "sigma_y": SY},
+        )
+        assert res.state_est.shape == (7,)
+        assert res.particles_history.shape == (7, 128)
+        assert np.isfinite(float(res.loglike))
+
+    def test_matrix_y_through_pmmh(self):
+        from bayesssm_tpu import default_tune_control, pmmh
+        from bayesssm_tpu.models.lgss import lgss_mv_model, simulate_lgss_mv
+
+        _, y = simulate_lgss_mv(11, t_val=8)
+        fns, log_priors, transform = lgss_mv_model()
+        out = pmmh(
+            "bootstrap_filter", y, 20, fns[0], fns[1], fns[2], log_priors,
+            pilot_init_params={"a": 0.8, "sigma_x": 0.5, "sigma_y": 0.5},
+            burn_in=5, num_chains=2, param_transform=transform, seed=3,
+            tune_control=default_tune_control(
+                pilot_m=20, pilot_burn_in=5, pilot_reps=3
+            ),
+            print_summary=False,
+        )
+        for p, chain in out.theta_chain.items():
+            assert chain.shape == (2, 15), (p, chain.shape)
+            assert np.isfinite(chain).all(), p
 
 
 class TestDegenerateWeights:

@@ -153,6 +153,30 @@ def test_metropolis_resampler_frequencies():
     np.testing.assert_allclose(counts / (reps * 4), np.asarray(w), atol=0.05)
 
 
+def test_metropolis_masked_lanes_never_selected():
+    # num_alive restricts both chain starts and proposals to alive lanes.
+    from bayesssm_tpu.ops.resampling import metropolis_resample_indices
+
+    w = jnp.array([0.25, 0.25, 0.25, 0.25, 0.0, 0.0, 0.0, 0.0])
+    keys = jax.random.split(jax.random.key(3), 200)
+    idx = jax.vmap(
+        lambda k: metropolis_resample_indices(k, w, num_alive=4.0)
+    )(keys)
+    assert int(jnp.max(idx)) <= 3
+    counts = np.bincount(np.asarray(idx).ravel(), minlength=8)
+    np.testing.assert_allclose(
+        counts[:4] / counts.sum(), [0.25] * 4, atol=0.05
+    )
+
+
+def test_metropolis_through_resample_indices():
+    # resample_fn="metropolis" dispatches through the generic entry point.
+    w = jnp.array([0.5, 0.3, 0.2])
+    idx = resample_indices(jax.random.key(0), w, method="metropolis")
+    assert idx.shape == (3,)
+    assert int(jnp.max(idx)) <= 2
+
+
 def test_metropolis_resampler_atom():
     from bayesssm_tpu.ops.resampling import metropolis_resample_indices
 

@@ -83,8 +83,13 @@ def test_placement_independent_rng():
     assert abs(np.mean(np.asarray(ll1)) - np.mean(np.asarray(ll4))) < 1.0
 
 
-@pytest.mark.parametrize("method", ["systematic", "stratified", "multinomial"])
+@pytest.mark.parametrize(
+    "method", ["systematic", "stratified", "multinomial", "metropolis"]
+)
 def test_resamplers_all_unbiased(method):
+    # "metropolis" runs per-shard chains over the gathered global weights
+    # (its collective-free design point; ops/resampling.py) — included so
+    # the sharded likelihood estimator's unbiasedness is pinned for it too.
     truth = kalman_loglik(Y, A, C, SX, SY)
     mesh = make_chain_mesh(8, particle_axis_size=2)
     ll, _ = run(mesh, num_chains=32, num_particles=512,
