@@ -78,14 +78,23 @@ _PACK = 4096.0
 _DEBUG_SKIP: tuple = ()
 
 
-def _chains_per_program(c: int, n: int) -> int:
-    b = max(1, min(c, _SELECTION_VMEM_BUDGET // (n * n * 4) or 1))
+def _chains_per_program(c: int, n: int, selection: str = "quadratic") -> int:
+    if selection == "merge":
+        # No [B, N, N] intermediate: VMEM holds ~log2(2N) recorded swap
+        # masks plus a handful of working columns, all [B, 2N]. Cap at
+        # the measured-best B = 128 (Gillespie block economics).
+        stages = (2 * n - 1).bit_length()
+        per_chain = 2 * n * 4 * (stages + 6)
+        b = max(1, min(c, 128, _SELECTION_VMEM_BUDGET // per_chain or 1))
+    else:
+        b = max(1, min(c, _SELECTION_VMEM_BUDGET // (n * n * 4) or 1))
     return 1 << (b.bit_length() - 1)
 
 
 def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
                  method: str, always_resample: bool, software_prng: bool,
-                 algorithm: str = "BPF", move_step_max: int = 2):
+                 algorithm: str = "BPF", move_step_max: int = 2,
+                 selection: str = "quadratic"):
     """Return the kernel body closure with the particle width ``n`` static.
 
     ``algorithm`` selects the per-observation step:
@@ -306,7 +315,15 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
             return jnp.where(alive_mask, pos, 1.0), ctr
 
         def select(w, pos, s, i):
-            """CDF (Hillis-Steele) + telescoped inverse-CDF selection."""
+            """CDF (Hillis-Steele) + inverse-CDF selection.
+
+            ``selection`` picks the selection algorithm: "quadratic" is
+            the [B, N, N] telescoped masked-reduce (3 VPU ops/element,
+            measured-best at N = 128); "merge" is the O(N log N)
+            bitonic-merge network (ops/merge_select.py) that removes the
+            N^2 cliff at the Q10-reachable N = 1024. Both are exact and
+            sample identical ancestors from identical (w, pos).
+            """
             cdf = w
             shift = 1
             while shift < n:
@@ -322,43 +339,65 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
                 rolled = pltpu.roll(cdf, shift, axis=1)
                 cdf = jnp.maximum(cdf, jnp.where(lane >= shift, rolled, 0.0))
                 shift *= 2
-            # Telescoped inverse-CDF selection: the matched lane is
-            # m_k = #{j : cdf_j <= pos_k} (monotone running-max CDF =>
-            # exactly one bucket), and
-            #   v_res_k = v_0 + sum_j [cdf_j <= pos_k] * (v_{j+1} - v_j)
-            # telescopes to v_{m_k}. One compare + select + add per
-            # [B, N, N] element and one fewer N^2 operand stream than the
-            # two-edge bucket match (pos >= prev & pos < cdf) it replaces
-            # — measured ~0.85x step time at the bench shape. Exact in
-            # f32: every reduction subtree spans contiguous lanes, and a
-            # prefix-masked contiguous sum of dv telescopes to a
-            # difference of two packed values < 2^24.
-            # Overshoot clamp: cumsum rounding can leave cdf[last_alive]
-            # below a near-1 position, and masked lanes carry the running
-            # total (a pos draw just under 1 could "pass" them). Pinning
-            # cdf = +inf from the LAST ALIVE lane on caps m_k at
-            # alive_ct - 1, matching resample_indices' clamp
-            # (ops/resampling.py); masked-lane positions (pinned 1.0)
-            # resolve to a COPY of the last alive particle and are zeroed
-            # after the unpack below — without the zeroing those copies
-            # stay active (i > 0) and lengthen the block-max Gillespie
-            # while_loop whenever num_particles < max_particles.
-            cdf_ext = jnp.where(lane_f >= alive_ct - 1.0, jnp.inf, cdf)
             v = s * _PACK + i                               # packed column
-            # v_{j+1} - v_j (roll by n-1 == roll by -1; negative shifts
-            # are rejected). The wrapped lane n-1 never contributes: its
-            # cdf_ext is +inf for any alive_ct.
-            dv = pltpu.roll(v, n - 1, axis=1) - v
             v0 = jnp.max(jnp.where(lane == 0, v, neg), axis=-1,
                          keepdims=True)                     # [B, 1]
-            shape3 = (b, n, n)
-            pos_b = jnp.broadcast_to(pos[:, :, None], shape3)
-            cdf_b = jnp.broadcast_to(cdf_ext[:, None, :], shape3)
-            dv_b = jnp.broadcast_to(dv[:, None, :], shape3)
-            v_res = v0 + jnp.sum(
-                jnp.where(cdf_b <= pos_b, dv_b, jnp.zeros_like(dv_b)),
-                axis=2,
-            )
+            if selection == "merge":
+                # O(N log N) bitonic-merge selection (ops/merge_select.py
+                # for the algorithm and its exactness argument). The
+                # sentinel must stay finite and < 2.0 (int-key bitcast);
+                # it exceeds every position (pos <= 1.0), so the clamp
+                # semantics match the quadratic branch's +inf pin.
+                from bayesssm_tpu.ops.merge_select import (
+                    merge_select,
+                    resolve_carries,
+                )
+
+                def roll(x, shift, axis=1):
+                    return pltpu.roll(x, shift, axis=axis)
+
+                cdf_ext = jnp.where(
+                    lane_f >= alive_ct - 1.0, np.float32(1.5), cdf
+                )
+                v_next = pltpu.roll(v, n - 1, axis=1)       # v[j + 1]
+                v_carry = resolve_carries(cdf_ext, v_next, lane, roll)
+                v_res = merge_select(cdf_ext, pos, v_carry, v0, lane, roll)
+            else:
+                # Telescoped inverse-CDF selection: the matched lane is
+                # m_k = #{j : cdf_j <= pos_k} (monotone running-max CDF =>
+                # exactly one bucket), and
+                #   v_res_k = v_0 + sum_j [cdf_j <= pos_k] * (v_{j+1} - v_j)
+                # telescopes to v_{m_k}. One compare + select + add per
+                # [B, N, N] element and one fewer N^2 operand stream than
+                # the two-edge bucket match (pos >= prev & pos < cdf) it
+                # replaces — measured ~0.85x step time at the bench shape.
+                # Exact in f32: every reduction subtree spans contiguous
+                # lanes, and a prefix-masked contiguous sum of dv
+                # telescopes to a difference of two packed values < 2^24.
+                # Overshoot clamp: cumsum rounding can leave
+                # cdf[last_alive] below a near-1 position, and masked
+                # lanes carry the running total (a pos draw just under 1
+                # could "pass" them). Pinning cdf = +inf from the LAST
+                # ALIVE lane on caps m_k at alive_ct - 1, matching
+                # resample_indices' clamp (ops/resampling.py);
+                # masked-lane positions (pinned 1.0) resolve to a COPY of
+                # the last alive particle and are zeroed after the unpack
+                # below — without the zeroing those copies stay active
+                # (i > 0) and lengthen the block-max Gillespie while_loop
+                # whenever num_particles < max_particles.
+                cdf_ext = jnp.where(lane_f >= alive_ct - 1.0, jnp.inf, cdf)
+                # v_{j+1} - v_j (roll by n-1 == roll by -1; negative
+                # shifts are rejected). The wrapped lane n-1 never
+                # contributes: its cdf_ext is +inf for any alive_ct.
+                dv = pltpu.roll(v, n - 1, axis=1) - v
+                shape3 = (b, n, n)
+                pos_b = jnp.broadcast_to(pos[:, :, None], shape3)
+                cdf_b = jnp.broadcast_to(cdf_ext[:, None, :], shape3)
+                dv_b = jnp.broadcast_to(dv[:, None, :], shape3)
+                v_res = v0 + jnp.sum(
+                    jnp.where(cdf_b <= pos_b, dv_b, jnp.zeros_like(dv_b)),
+                    axis=2,
+                )
             s_res = jnp.floor(v_res * (1.0 / _PACK))        # exact unpack
             i_res = v_res - s_res * _PACK
             # Masked lanes -> inert zero state (every downstream consumer
@@ -487,7 +526,8 @@ def _make_kernel(n: int, n_total: float, num_obs: int, unroll: int,
 
 def _batched_call(seeds, lam, gam, alive, thr, s0, i0, y, lgy, *,
                   n_static, n_total, unroll, method, always_resample,
-                  interpret, algorithm="BPF", move_step_max=2):
+                  interpret, algorithm="BPF", move_step_max=2,
+                  selection="quadratic"):
     """seeds [C, 2] int32; lam/gam/alive/thr/s0/i0 [C] f32; y/lgy [T] f32."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -497,7 +537,7 @@ def _batched_call(seeds, lam, gam, alive, thr, s0, i0, y, lgy, *,
     num_obs = y.shape[0]
     t1 = num_obs + 1
 
-    b = _chains_per_program(c, n)
+    b = _chains_per_program(c, n, selection)
     g = -(-c // b)
     pad = g * b - c
     if pad:
@@ -514,7 +554,7 @@ def _batched_call(seeds, lam, gam, alive, thr, s0, i0, y, lgy, *,
     kernel = _make_kernel(
         n, float(n_total), int(num_obs), int(unroll), method,
         bool(always_resample), bool(interpret), algorithm=algorithm,
-        move_step_max=int(move_step_max),
+        move_step_max=int(move_step_max), selection=selection,
     )
     space = pl.ANY if interpret else pltpu.VMEM
     smem = pl.ANY if interpret else pltpu.SMEM
@@ -581,11 +621,12 @@ def _batched_call(seeds, lam, gam, alive, thr, s0, i0, y, lgy, *,
 
 @functools.lru_cache(maxsize=None)
 def _make_op(n_static, n_total, unroll, method, always_resample, interpret,
-             algorithm, move_step_max):
+             algorithm, move_step_max, selection):
     kw = dict(
         n_static=n_static, n_total=n_total, unroll=unroll, method=method,
         always_resample=always_resample, interpret=interpret,
         algorithm=algorithm, move_step_max=move_step_max,
+        selection=selection,
     )
 
     @jax.custom_batching.custom_vmap
@@ -637,9 +678,18 @@ def sir_filter_sweep(
     threshold=None,
     unroll: int = 8,
     move_step_max: int = 2,
+    selection: str = "auto",
     interpret: bool = False,
 ):
     """Full SIR particle-filter sweep in one fused TPU kernel (vmap-aware).
+
+    ``selection`` chooses the in-kernel resampling-selection algorithm:
+    ``"quadratic"`` ([B, N, N] telescoped masked-reduce, measured-best at
+    N = 128), ``"merge"`` (O(N log N) bitonic-merge network,
+    ops/merge_select.py — removes the N^2 cliff at large N; requires
+    sorted positions, i.e. stratified/systematic), or ``"auto"`` (merge
+    for max_particles >= 512, quadratic below, quadratic always for
+    multinomial).
 
     Drop-in fast path for the PMMH hot loop on the SIR model: returns
     ``(loglike, state_est [T+1, 2])`` with the same sampling distribution
@@ -691,10 +741,24 @@ def sir_filter_sweep(
     s0 = jnp.asarray(float(n_total - init_infected), jnp.float32)
     i0 = jnp.asarray(float(init_infected), jnp.float32)
 
+    if selection not in ("auto", "quadratic", "merge"):
+        raise ValueError("selection must be 'auto', 'quadratic' or 'merge'")
+    if selection == "merge" and resample_fn == "multinomial":
+        raise ValueError(
+            "selection='merge' requires sorted positions "
+            "(stratified/systematic)"
+        )
+    if selection == "auto":
+        selection = (
+            "merge"
+            if n_static >= 512 and resample_fn != "multinomial"
+            else "quadratic"
+        )
+
     always = algorithm == "RMPF" or resample_algorithm == "SISR"
     op = _make_op(
         n_static, float(n_total), int(unroll), resample_fn,
-        always, bool(interpret), algorithm, int(move_step_max),
+        always, bool(interpret), algorithm, int(move_step_max), selection,
     )
     return op(seeds, lam, gam, alive, thr, s0, i0, ys, lgy)
 

@@ -140,6 +140,44 @@ def test_apf_rmpf_masked_lanes(ys):
         assert abs(float(ll_m.mean() - ll_c.mean())) < se_tol, algorithm
 
 
+def test_merge_selection_matches_core(ys):
+    """selection='merge' (O(N log N) bitonic network) samples the same
+    distribution as the generic engine; masked lanes included."""
+    c = 192
+    ll_s, se_s = _sweep_batch(ys, c, key=31, selection="merge")
+    ll_c, se_c = _core_batch(ys, c, key=32)
+    _assert_distributional_match(ll_s, se_s, ll_c, se_c, c)
+
+    keys = jax.random.split(jax.random.key(33), c)
+
+    def one(k, n_alive):
+        return sir_filter_sweep(
+            k, ys, n_alive, LAM, GAM, N_TOTAL, I0, max_particles=N,
+            selection="merge", interpret=True,
+        )
+
+    ll_m, _ = jax.jit(jax.vmap(one))(keys, jnp.full((c,), 64.0))
+    ll_c64, _ = _core_batch(ys, c, key=34, num_particles=64)
+    assert bool(jnp.isfinite(ll_m).all())
+    se_tol = 4.0 * float(
+        np.hypot(np.std(np.asarray(ll_m)), np.std(np.asarray(ll_c64)))
+    ) / np.sqrt(c)
+    assert abs(float(ll_m.mean() - ll_c64.mean())) < se_tol
+
+
+def test_merge_selection_validation(ys):
+    with pytest.raises(ValueError, match="sorted positions"):
+        sir_filter_sweep(
+            jax.random.key(0), ys, N, LAM, GAM, N_TOTAL, I0,
+            selection="merge", resample_fn="multinomial", interpret=True,
+        )
+    with pytest.raises(ValueError, match="selection must be"):
+        sir_filter_sweep(
+            jax.random.key(0), ys, N, LAM, GAM, N_TOTAL, I0,
+            selection="bogus", interpret=True,
+        )
+
+
 def test_apf_degenerate_observation_gives_neg_inf(ys):
     """An impossible observation drives the aux stage degenerate: the
     whole chain dies (-inf), matching core.py's aux-degeneracy contract."""

@@ -190,3 +190,54 @@ def test_whole_sweep_kernel_on_device():
     ll_day = np.asarray(per_day(jax.random.split(jax.random.key(1), 256)))
     se = np.sqrt(ll_sweep.var() / 256 + ll_day.var() / 256)
     assert abs(ll_sweep.mean() - ll_day.mean()) < 5 * se + 0.1
+
+
+def test_merge_selection_bit_identical_on_device():
+    """selection='merge' vs 'quadratic' on hardware: at N = 128 both
+    modes run the same chain blocking (B = 128), hence identical
+    in-kernel PRNG streams — the selections are exact algorithms for the
+    same lookup, so the outputs must be BIT-identical. Catches any
+    Mosaic lowering divergence in the merge network (rolls, bitcasts,
+    int-key compares) that interpret mode cannot see."""
+    from bayesssm_tpu.models.sir import simulate_sir
+    from bayesssm_tpu.ops.sir_sweep_pallas import (
+        _chains_per_program,
+        sir_filter_sweep,
+    )
+
+    _, y = simulate_sir(seed=1405)
+    ys = jnp.asarray(y, jnp.float32)
+    keys = jax.random.split(jax.random.key(3), 256)
+    assert _chains_per_program(256, 128, "quadratic") == \
+        _chains_per_program(256, 128, "merge")
+    outs = {}
+    for sel in ("quadratic", "merge"):
+        fn = jax.jit(jax.vmap(
+            lambda k, sel=sel: sir_filter_sweep(
+                k, ys, 128, 0.5, 0.2, 500, 70, selection=sel
+            )
+        ))
+        ll, se = fn(keys)
+        outs[sel] = (np.asarray(ll), np.asarray(se))
+    np.testing.assert_array_equal(outs["quadratic"][0], outs["merge"][0])
+    np.testing.assert_array_equal(outs["quadratic"][1], outs["merge"][1])
+
+
+def test_merge_selection_large_n_on_device():
+    """N = 1024 (the Q10-clamp regime) through the merge path: finite,
+    reproducible, and masked lanes behave."""
+    from bayesssm_tpu.models.sir import simulate_sir
+    from bayesssm_tpu.ops.sir_sweep_pallas import sir_filter_sweep
+
+    _, y = simulate_sir(seed=1405)
+    ys = jnp.asarray(y, jnp.float32)
+    keys = jax.random.split(jax.random.key(5), 32)
+    fn = jax.jit(jax.vmap(
+        lambda k: sir_filter_sweep(
+            k, ys, 1000.0, 0.5, 0.2, 500, 70, max_particles=1024,
+            selection="merge",
+        )[0]
+    ))
+    ll = np.asarray(fn(keys))
+    assert np.isfinite(ll).all()
+    np.testing.assert_array_equal(np.asarray(fn(keys)), ll)
