@@ -397,6 +397,14 @@ def particle_filter_core(
             "the fused Pallas path implements inverse-CDF selection only; "
             "use_fused must be False/'auto' with resample_fn='metropolis'"
         )
+    # Selection algorithm for the fused kernels: the O(N log N) merge
+    # network needs SORTED positions; multinomial keeps the quadratic
+    # masked-reduce (ops/merge_select.py, measured in
+    # scripts/particle_regime.py).
+    fused_selection = (
+        "merge" if resample_fn in ("stratified", "systematic")
+        else "quadratic"
+    )
     if sharded:
         # The fused kernel is single-shard (its CDF/selection is local);
         # the sharded weight step runs the collective portable path.
@@ -493,6 +501,7 @@ def particle_filter_core(
                         safe_aux, p_ext, pos_aux, uniform_w,
                         jnp.asarray(0.0, dtype), always_resample=True,
                         interpret=fused_interpret,
+                        selection=fused_selection,
                     )
                 aux_anc = p_ext[:, -1]
                 particles = p_ext[:, 0] if one_dim_p else p_ext[:, :-1]
@@ -567,6 +576,7 @@ def particle_filter_core(
                     safe_comb, p2d, pos, uniform_w, thr_arg,
                     always_resample=always_resample,
                     interpret=fused_interpret,
+                    selection=fused_selection,
                 )
             particles = pout if particles.ndim == 2 else pout[:, 0]
             incr = lse if carry_weights else lse - jnp.log(n_f)

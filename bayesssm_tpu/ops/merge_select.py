@@ -54,7 +54,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["merge_select", "resolve_carries", "xla_roll"]
+__all__ = [
+    "merge_select",
+    "merge_select_cols",
+    "resolve_carries",
+    "xla_roll",
+]
 
 
 def xla_roll(x, shift, axis=1):
@@ -113,8 +118,9 @@ def _xor_reverse(x, lane, roll_fn):
     return x
 
 
-def merge_select(cdf_ext, pos, v_carry, v0, lane, roll_fn=xla_roll):
-    """Inverse-CDF selection in O(N log N) roll stages (module docstring).
+def merge_select_cols(cdf_ext, pos, carries, v0s, lane, roll_fn=xla_roll):
+    """Inverse-CDF selection in O(N log N) roll stages (module docstring),
+    routing any number of value columns through ONE shared key network.
 
     Args:
       cdf_ext: [B, N] non-decreasing CDF, pinned to a finite sentinel
@@ -123,13 +129,14 @@ def merge_select(cdf_ext, pos, v_carry, v0, lane, roll_fn=xla_roll):
         into the int32 sign bit.
       pos: [B, N] sorted non-decreasing query positions in [0, 1.5)
         (stratified/systematic; dead slots pinned 1.0).
-      v_carry: [B, N] from :func:`resolve_carries`.
-      v0: [B, 1] value for slots with no preceding cdf element (v[0]).
+      carries: tuple of [B, N] columns from :func:`resolve_carries`.
+      v0s: tuple of [B, 1] fallbacks for slots with no preceding cdf
+        element (each column's v[0]).
       lane: [B, N] int32 lane iota.
       roll_fn: cyclic rotate (pltpu.roll in-kernel; xla_roll on CPU).
 
     Returns:
-      [B, N] selected packed values ``v[m_k]`` per output slot.
+      tuple of [B, N] selected values ``v[m_k]`` per column.
     """
     b, n = cdf_ext.shape
     two_n = 2 * n
@@ -141,7 +148,9 @@ def merge_select(cdf_ext, pos, v_carry, v0, lane, roll_fn=xla_roll):
     key = jnp.concatenate(
         [ikey_cdf, _xor_reverse(ikey_pos, lane, roll_fn)], axis=1
     )
-    val = jnp.concatenate([v_carry, jnp.zeros_like(v_carry)], axis=1)
+    vals = [
+        jnp.concatenate([c, jnp.zeros_like(c)], axis=1) for c in carries
+    ]
 
     # ---- bitonic merge, masks recorded ----
     masks = []
@@ -149,7 +158,6 @@ def merge_select(cdf_ext, pos, v_carry, v0, lane, roll_fn=xla_roll):
     while d >= 1:
         lower_i = ((lane2 & d) == 0).astype(jnp.int32)
         pkey = _partner(key, lower_i, d, two_n, roll_fn)
-        pval = _partner(val, lower_i, d, two_n, roll_fn)
         # swap = lower ? (key > pkey) : (key < pkey), in int arithmetic:
         # a select between two BOOLEAN branches lowers to an i8->i1
         # truncation Mosaic rejects. NOT simply (key > pkey) == lower —
@@ -158,20 +166,24 @@ def merge_select(cdf_ext, pos, v_carry, v0, lane, roll_fn=xla_roll):
         lt_i = (key < pkey).astype(jnp.int32)
         swap = lower_i * gt_i + (1 - lower_i) * lt_i
         key = jnp.where(swap > 0, pkey, key)
-        val = jnp.where(swap > 0, pval, val)
+        vals = [
+            jnp.where(swap > 0, _partner(v, lower_i, d, two_n, roll_fn), v)
+            for v in vals
+        ]
         masks.append(swap)
         d //= 2
 
     # ---- copy-forward scan: latest cdf-carried value at or before L ----
     is_cdf = ((key & 1) == 0).astype(jnp.int32)
     have = is_cdf
-    res = jnp.where(is_cdf > 0, val, 0.0)
+    ress = [jnp.where(is_cdf > 0, v, 0.0) for v in vals]
     shift = 1
     while shift < two_n:
         in_range = (lane2 >= shift).astype(jnp.int32)
         rolled_have = roll_fn(have, shift) * in_range
-        rolled_res = roll_fn(res, shift)
-        res = jnp.where(have > 0, res, rolled_res)
+        ress = [
+            jnp.where(have > 0, r, roll_fn(r, shift)) for r in ress
+        ]
         have = jnp.maximum(have, rolled_have)
         shift *= 2
 
@@ -180,14 +192,26 @@ def merge_select(cdf_ext, pos, v_carry, v0, lane, roll_fn=xla_roll):
     while d <= n:
         swap = masks.pop()
         lower_i = ((lane2 & d) == 0).astype(jnp.int32)
-        res = jnp.where(
-            swap > 0, _partner(res, lower_i, d, two_n, roll_fn), res
-        )
+        ress = [
+            jnp.where(
+                swap > 0, _partner(r, lower_i, d, two_n, roll_fn), r
+            )
+            for r in ress
+        ]
         have = jnp.where(
             swap > 0, _partner(have, lower_i, d, two_n, roll_fn), have
         )
         d *= 2
 
-    out = _xor_reverse(res[:, n:], lane, roll_fn)
     got = _xor_reverse(have[:, n:], lane, roll_fn)
-    return jnp.where(got > 0, out, v0)
+    return tuple(
+        jnp.where(got > 0, _xor_reverse(r[:, n:], lane, roll_fn), v0)
+        for r, v0 in zip(ress, v0s)
+    )
+
+
+def merge_select(cdf_ext, pos, v_carry, v0, lane, roll_fn=xla_roll):
+    """Single-column :func:`merge_select_cols`."""
+    return merge_select_cols(
+        cdf_ext, pos, (v_carry,), (v0,), lane, roll_fn
+    )[0]

@@ -58,7 +58,8 @@ def pallas_available() -> bool:
 
 
 def _kernel(lw_ref, *rest, always_resample: bool, d: int,
-            method: str | None, software_prng: bool):
+            method: str | None, software_prng: bool,
+            selection: str = "quadratic"):
     """Blocked kernel: each grid program handles B chains at once.
 
     Every ref is 2-D [B, N] (thr/ess/lse are [B, 1]): the d state columns
@@ -193,12 +194,44 @@ def _kernel(lw_ref, *rest, always_resample: bool, d: int,
     last_alive = jnp.max(
         jnp.where(alive_lane, lane, 0), axis=-1, keepdims=True
     )
-    cdf_ext = jnp.where(lane == last_alive, jnp.inf, cdf)
-    shape3 = (b, n, n)
-    pos_b = jnp.broadcast_to(pos[:, :, None], shape3)        # lanes
-    cdf_b = jnp.broadcast_to(cdf_ext[:, None, :], shape3)    # sublanes
-    cdf_prev_b = jnp.broadcast_to(cdf_prev[:, None, :], shape3)
-    m = jnp.logical_and(pos_b >= cdf_prev_b, pos_b < cdf_b)  # [B, N, N]
+    if selection == "merge":
+        # O(N log N) bitonic-merge selection (ops/merge_select.py): all
+        # d state columns route through ONE shared key network. Pinning
+        # the finite sentinel from the last alive lane on reproduces the
+        # quadratic branch's clamp semantics exactly (masked output
+        # slots' pos = 1.0 < 1.5 select the last alive ancestor).
+        from bayesssm_tpu.ops.merge_select import (
+            merge_select_cols,
+            resolve_carries,
+        )
+
+        def roll(x, shift, axis=1):
+            return pltpu.roll(x, shift, axis=axis)
+
+        cdf_ext = jnp.where(lane >= last_alive, np.float32(1.5), cdf)
+        cols_in = [ref[:, :] for ref in col_refs]
+        carries = tuple(
+            resolve_carries(
+                cdf_ext, pltpu.roll(ci, n - 1, axis=1), lane, roll
+            )
+            for ci in cols_in
+        )
+        v0s = tuple(
+            jnp.sum(jnp.where(lane == 0, ci, 0.0), axis=-1, keepdims=True)
+            for ci in cols_in
+        )
+        merge_cols = merge_select_cols(
+            cdf_ext, pos, carries, v0s, lane, roll
+        )
+        m = None
+    else:
+        merge_cols = None
+        cdf_ext = jnp.where(lane == last_alive, jnp.inf, cdf)
+        shape3 = (b, n, n)
+        pos_b = jnp.broadcast_to(pos[:, :, None], shape3)        # lanes
+        cdf_b = jnp.broadcast_to(cdf_ext[:, None, :], shape3)    # sublanes
+        cdf_prev_b = jnp.broadcast_to(cdf_prev[:, None, :], shape3)
+        m = jnp.logical_and(pos_b >= cdf_prev_b, pos_b < cdf_b)  # [B, N, N]
     # Gather-by-selection as a VPU masked reduce, one state column at a
     # time: resampled[b, j, k] = sum_i m[b, j, i] * p_k[b, i]. Each row of
     # ``m`` selects exactly one ancestor, so the sum has a single nonzero
@@ -217,10 +250,13 @@ def _kernel(lw_ref, *rest, always_resample: bool, d: int,
         wout_ref[:, :] = jnp.where(do_rows, uniform_ref[:, :], w)
     for k in range(d):
         col = col_refs[k][:, :]                       # [B, N] (ancestor axis)
-        col_b = jnp.broadcast_to(col[:, None, :], shape3)   # sublane bcast
-        resampled_k = jnp.sum(
-            jnp.where(m, col_b, jnp.zeros_like(col_b)), axis=2
-        )                                             # [B, N]
+        if merge_cols is not None:
+            resampled_k = merge_cols[k]
+        else:
+            col_b = jnp.broadcast_to(col[:, None, :], shape3)
+            resampled_k = jnp.sum(
+                jnp.where(m, col_b, jnp.zeros_like(col_b)), axis=2
+            )                                         # [B, N]
         if always_resample:
             pout_refs[k][:, :] = resampled_k
         else:
@@ -239,13 +275,23 @@ def _kernel(lw_ref, *rest, always_resample: bool, d: int,
 _SELECTION_VMEM_BUDGET = 2 * 1024 * 1024
 
 
-def _chains_per_program(c: int, n: int) -> int:
-    b = max(1, min(c, _SELECTION_VMEM_BUDGET // (n * n * 4) or 1))
+def _chains_per_program(c: int, n: int, selection: str = "quadratic") -> int:
+    if selection == "merge":
+        # No [B, N, N] intermediate: ~log2(2N) recorded swap masks plus
+        # working columns, all [B, 2N]; keep the quadratic path's block
+        # cap so blockings (and hence in-kernel PRNG streams) coincide
+        # at the benchmark shapes.
+        stages = (2 * n - 1).bit_length()
+        per_chain = 2 * n * 4 * (stages + 6)
+        b = max(1, min(c, 32, _SELECTION_VMEM_BUDGET // per_chain or 1))
+    else:
+        b = max(1, min(c, _SELECTION_VMEM_BUDGET // (n * n * 4) or 1))
     return 1 << (b.bit_length() - 1)
 
 
 def _batched_call(lw, particles, pos, uniform, thr, always_resample,
-                  interpret, seeds=None, num_alive=None, method=None):
+                  interpret, seeds=None, num_alive=None, method=None,
+                  selection="quadratic"):
     """Gridded kernel over chain blocks. Shapes: lw/pos/uniform [C, N],
     particles [C, N, d], thr [C]. Returns (pout, wout, ess, lse).
 
@@ -267,7 +313,7 @@ def _batched_call(lw, particles, pos, uniform, thr, always_resample,
     dtype = particles.dtype
     cols = [particles[:, :, k] for k in range(d)]
 
-    b = _chains_per_program(c, n)
+    b = _chains_per_program(c, n, selection)
     g = -(-c // b)
     pad = g * b - c
     if pad:
@@ -284,7 +330,7 @@ def _batched_call(lw, particles, pos, uniform, thr, always_resample,
 
     kernel = functools.partial(
         _kernel, always_resample=always_resample, d=d, method=method,
-        software_prng=bool(interpret),
+        software_prng=bool(interpret), selection=selection,
     )
     space = pl.ANY if interpret else pltpu.VMEM
     smem = pl.ANY if interpret else pltpu.SMEM
@@ -349,12 +395,13 @@ def _batched_call(lw, particles, pos, uniform, thr, always_resample,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_op(always_resample: bool, interpret: bool):
+def _make_op(always_resample: bool, interpret: bool,
+             selection: str = "quadratic"):
     @jax.custom_batching.custom_vmap
     def op(lw, particles, pos, uniform, thr):
         pout, wout, ess, lse = _batched_call(
             lw[None], particles[None], pos[None], uniform[None], thr[None],
-            always_resample, interpret,
+            always_resample, interpret, selection=selection,
         )
         return pout[0], wout[0], ess[0], lse[0]
 
@@ -371,7 +418,8 @@ def _make_op(always_resample: bool, interpret: bool):
             )
         )
         out = _batched_call(
-            lw_b, p_b, pos_b, u_b, thr_b, always_resample, interpret
+            lw_b, p_b, pos_b, u_b, thr_b, always_resample, interpret,
+            selection=selection,
         )
         return out, (True, True, True, True)
 
@@ -379,13 +427,14 @@ def _make_op(always_resample: bool, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_seeded_op(method: str, always_resample: bool, interpret: bool):
+def _make_seeded_op(method: str, always_resample: bool, interpret: bool,
+                    selection: str = "quadratic"):
     @jax.custom_batching.custom_vmap
     def op(lw, particles, seeds, num_alive, uniform, thr):
         pout, wout, ess, lse = _batched_call(
             lw[None], particles[None], None, uniform[None], thr[None],
             always_resample, interpret, seeds=seeds[None],
-            num_alive=num_alive[None], method=method,
+            num_alive=num_alive[None], method=method, selection=selection,
         )
         return pout[0], wout[0], ess[0], lse[0]
 
@@ -404,7 +453,7 @@ def _make_seeded_op(method: str, always_resample: bool, interpret: bool):
         )
         out = _batched_call(
             lw_b, p_b, None, u_b, thr_b, always_resample, interpret,
-            seeds=sd_b, num_alive=na_b, method=method,
+            seeds=sd_b, num_alive=na_b, method=method, selection=selection,
         )
         return out, (True, True, True, True)
 
@@ -419,14 +468,21 @@ def fused_weight_resample(
     threshold,            # scalar ESS threshold (ignored if always_resample)
     always_resample: bool = False,
     interpret: bool = False,
+    selection: str = "quadratic",
 ):
     """Fused weight step for one chain (vmap-aware, see module docstring).
 
     Returns (particles_out [N, d], weights_out [N], ess [], logsumexp []).
     The caller computes the likelihood increment as ``logsumexp - log(n)``
     and handles SIS (no-resample) by not calling the fused path.
+    ``selection="merge"`` switches to the O(N log N) bitonic-merge
+    network (ops/merge_select.py) — valid ONLY when ``positions`` are
+    sorted (stratified/systematic draws); the caller knows the method,
+    the kernel cannot check.
     """
-    op = _make_op(bool(always_resample), bool(interpret))
+    if selection not in ("quadratic", "merge"):
+        raise ValueError("selection must be 'quadratic' or 'merge'")
+    op = _make_op(bool(always_resample), bool(interpret), selection)
     thr = jnp.asarray(threshold, particles.dtype).reshape(())
     return op(log_weights, particles, positions, uniform_w, thr)
 
@@ -441,8 +497,14 @@ def fused_weight_resample_seeded(
     method: str = "stratified",
     always_resample: bool = False,
     interpret: bool = False,
+    selection: str = "auto",
 ):
     """Fused weight step with IN-KERNEL stratum positions (vmap-aware).
+
+    ``selection="auto"`` picks the O(N log N) merge network for sorted
+    position methods (stratified/systematic; measured faster at every
+    lane count, scripts/particle_regime.py) and the quadratic
+    masked-reduce for multinomial.
 
     Same contract as ``fused_weight_resample`` but the inverse-CDF query
     positions are drawn inside the kernel from the hardware PRNG
@@ -456,7 +518,18 @@ def fused_weight_resample_seeded(
     """
     if method not in ("stratified", "systematic", "multinomial"):
         raise ValueError(f"unknown resampling method {method!r}")
-    op = _make_seeded_op(method, bool(always_resample), bool(interpret))
+    if selection == "auto":
+        selection = (
+            "merge" if method in ("stratified", "systematic")
+            else "quadratic"
+        )
+    if selection == "merge" and method == "multinomial":
+        raise ValueError(
+            "selection='merge' requires sorted positions"
+        )
+    op = _make_seeded_op(
+        method, bool(always_resample), bool(interpret), selection
+    )
     kd = jnp.ravel(jax.random.key_data(key))[:2]
     seeds = jax.lax.bitcast_convert_type(kd.astype(jnp.uint32), jnp.int32)
     thr = jnp.asarray(threshold, particles.dtype).reshape(())

@@ -76,16 +76,25 @@ _PACK = 4096.0
 # one uniform block instead of drawing per iteration]). Never set outside
 # profiling runs.
 _DEBUG_SKIP: tuple = ()
+# Chain-block cap for merge-selection mode (profiling hook; the
+# measured-best default is 128, matching the quadratic path's blocking at
+# the benchmark shape so the two selections stay bit-comparable).
+_MERGE_BLOCK_CAP = 128
 
 
 def _chains_per_program(c: int, n: int, selection: str = "quadratic") -> int:
     if selection == "merge":
         # No [B, N, N] intermediate: VMEM holds ~log2(2N) recorded swap
         # masks plus a handful of working columns, all [B, 2N]. Cap at
-        # the measured-best B = 128 (Gillespie block economics).
+        # the measured-best B = 128 (Gillespie block economics; round-4
+        # sweep over caps {64, 128, 256} x unroll {8, 16}).
         stages = (2 * n - 1).bit_length()
         per_chain = 2 * n * 4 * (stages + 6)
-        b = max(1, min(c, 128, _SELECTION_VMEM_BUDGET // per_chain or 1))
+        b = max(
+            1,
+            min(c, _MERGE_BLOCK_CAP, _SELECTION_VMEM_BUDGET // per_chain
+                or 1),
+        )
     else:
         b = max(1, min(c, _SELECTION_VMEM_BUDGET // (n * n * 4) or 1))
     return 1 << (b.bit_length() - 1)
@@ -684,12 +693,15 @@ def sir_filter_sweep(
     """Full SIR particle-filter sweep in one fused TPU kernel (vmap-aware).
 
     ``selection`` chooses the in-kernel resampling-selection algorithm:
-    ``"quadratic"`` ([B, N, N] telescoped masked-reduce, measured-best at
-    N = 128), ``"merge"`` (O(N log N) bitonic-merge network,
-    ops/merge_select.py — removes the N^2 cliff at large N; requires
-    sorted positions, i.e. stratified/systematic), or ``"auto"`` (merge
-    for max_particles >= 512, quadratic below, quadratic always for
-    multinomial).
+    ``"quadratic"`` ([B, N, N] telescoped masked-reduce), ``"merge"``
+    (O(N log N) bitonic-merge network, ops/merge_select.py; requires
+    sorted positions, i.e. stratified/systematic), or ``"auto"`` —
+    merge whenever positions are sorted, quadratic for multinomial.
+    Round-4 measurements (scripts/particle_regime.py): merge is ~1.20x
+    quadratic at the benchmark's N = 128 (register-resident roll stages
+    vs VMEM-materialized [B, N, N] streams) and 3.6x at the
+    Q10-reachable N = 1024, where per-particle throughput under merge
+    matches N = 128 (no N^2 cliff).
 
     Drop-in fast path for the PMMH hot loop on the SIR model: returns
     ``(loglike, state_est [T+1, 2])`` with the same sampling distribution
@@ -750,9 +762,7 @@ def sir_filter_sweep(
         )
     if selection == "auto":
         selection = (
-            "merge"
-            if n_static >= 512 and resample_fn != "multinomial"
-            else "quadratic"
+            "merge" if resample_fn != "multinomial" else "quadratic"
         )
 
     always = algorithm == "RMPF" or resample_algorithm == "SISR"

@@ -228,18 +228,28 @@ def pmmh_e2e_samples_per_sec(y, chains, m, transition):
             )
 
     m_short = max(2, m // 8)
-    # Full-m run FIRST: both timers pay one-off jit-trace/program-load, but
-    # the second run in the same process hits warm caches; ordering the
-    # short run second makes any residual warm-cache advantage shrink the
-    # subtrahend, biasing the marginal rate DOWN (conservative) instead of
-    # up. Both raw quotients stay recoverable from the returned timings
-    # ("sampling" and "sampling_short") so the cancellation is checkable.
+    # Each length runs TWICE and the MARGINAL rate uses the MIN sampling
+    # time per length: the one-off costs inside the sampling timer
+    # (jit-trace + remote program compile/load through the tunnel) have
+    # high variance, and a spike that lands in only one of the two runs
+    # breaks the cancellation (round 4 measured a short run SLOWER than
+    # the full run that way, driving the metric negative). Min-of-2 per
+    # length strips the spikes; ordering full-m first keeps any residual
+    # warm-cache advantage conservative. Raw timings of the used runs
+    # stay in the returned dict so the cancellation is checkable.
+    first = run(m)
     out = run(m)
-    out_short = run(m_short)
-    t_short = out_short.timings.get("sampling", float("nan"))
-    t_full = out.timings.get("sampling", float("nan"))
+    t_full = min(
+        first.timings.get("sampling", float("nan")),
+        out.timings.get("sampling", float("nan")),
+    )
+    t_short = min(
+        run(m_short).timings.get("sampling", float("nan"))
+        for _ in range(2)
+    )
     rate = chains * (m - m_short) / (t_full - t_short)
     timings = dict(out.timings)
+    timings["sampling"] = t_full
     timings["sampling_short"] = t_short
     return rate, timings, np.asarray(out.target_n)
 

@@ -4,8 +4,9 @@ Measures aggregate PMMH samples/s on the stochastic-SIR benchmark across
 chain counts. On ONE chip this is a SATURATION curve, not weak scaling:
 grid programs serialize on the single TensorCore, so aggregate throughput
 rises toward a plateau as chains fill the grid while per-chain throughput
-falls correspondingly (round-3 measurement: 169.8k/252.6k/354.4k/370.4k
-samples/s at 256/1024/4096/8192 chains). Weak scaling across DEVICES is
+falls correspondingly (round-4 measurement at the 64-step default with
+merge selection: 317.4k/433.6k/465.0k/471.0k samples/s at
+256/1024/4096/8192 chains). Weak scaling across DEVICES is
 the chains-mesh axis (parallel/mesh.py; dryrun_multichip) — per-chain
 throughput is restored by sharding chains over chips. Prints one JSON
 line per configuration.
