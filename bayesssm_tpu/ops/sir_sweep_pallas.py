@@ -76,18 +76,21 @@ _PACK = 4096.0
 # one uniform block instead of drawing per iteration]). Never set outside
 # profiling runs.
 _DEBUG_SKIP: tuple = ()
-# Chain-block cap for merge-selection mode (profiling hook; the
-# measured-best default is 128, matching the quadratic path's blocking at
-# the benchmark shape so the two selections stay bit-comparable).
-_MERGE_BLOCK_CAP = 128
+# Chain-block cap for merge-selection mode. Without the [B, N, N]
+# intermediate the VMEM budget admits much larger chain blocks; the
+# round-4 sweep over caps {64, 128, 256, 512} x unroll {8, 16} measured
+# 399.5k / 451.6k / 474.2k / VMEM-OOM (16.02M vs the 16M scoped limit)
+# samples/s at the bench shape with unroll 8 — fewer, larger programs
+# win (per-program launch overhead dominates the wider block-max event
+# tail). 256 is the measured best that compiles.
+_MERGE_BLOCK_CAP = 256
 
 
 def _chains_per_program(c: int, n: int, selection: str = "quadratic") -> int:
     if selection == "merge":
         # No [B, N, N] intermediate: VMEM holds ~log2(2N) recorded swap
-        # masks plus a handful of working columns, all [B, 2N]. Cap at
-        # the measured-best B = 128 (Gillespie block economics; round-4
-        # sweep over caps {64, 128, 256} x unroll {8, 16}).
+        # masks plus a handful of working columns, all [B, 2N]. See
+        # _MERGE_BLOCK_CAP for the measured block economics.
         stages = (2 * n - 1).bit_length()
         per_chain = 2 * n * 4 * (stages + 6)
         b = max(

@@ -5,8 +5,8 @@ chain counts. On ONE chip this is a SATURATION curve, not weak scaling:
 grid programs serialize on the single TensorCore, so aggregate throughput
 rises toward a plateau as chains fill the grid while per-chain throughput
 falls correspondingly (round-4 measurement at the 64-step default with
-merge selection: 317.4k/433.6k/465.0k/471.0k samples/s at
-256/1024/4096/8192 chains). Weak scaling across DEVICES is
+merge selection, 256-chain block cap: 356.1k/444.3k/483.8k/493.9k
+samples/s at 256/1024/4096/8192 chains). Weak scaling across DEVICES is
 the chains-mesh axis (parallel/mesh.py; dryrun_multichip) — per-chain
 throughput is restored by sharding chains over chips. Prints one JSON
 line per configuration.

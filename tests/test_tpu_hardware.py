@@ -205,20 +205,32 @@ def test_merge_selection_bit_identical_on_device():
         sir_filter_sweep,
     )
 
+    import bayesssm_tpu.ops.sir_sweep_pallas as sw
+
     _, y = simulate_sir(seed=1405)
     ys = jnp.asarray(y, jnp.float32)
     keys = jax.random.split(jax.random.key(3), 256)
-    assert _chains_per_program(256, 128, "quadratic") == \
-        _chains_per_program(256, 128, "merge")
-    outs = {}
-    for sel in ("quadratic", "merge"):
-        fn = jax.jit(jax.vmap(
-            lambda k, sel=sel: sir_filter_sweep(
-                k, ys, 128, 0.5, 0.2, 500, 70, selection=sel
-            )
-        ))
-        ll, se = fn(keys)
-        outs[sel] = (np.asarray(ll), np.asarray(se))
+    # Equal blocking is the precondition for identical PRNG streams; the
+    # merge default block cap (256) is larger than the quadratic path's
+    # N=128 blocking, so pin it for this comparison.
+    cap = sw._MERGE_BLOCK_CAP
+    sw._MERGE_BLOCK_CAP = 128
+    sw._make_op.cache_clear()
+    try:
+        assert _chains_per_program(256, 128, "quadratic") == \
+            sw._chains_per_program(256, 128, "merge")
+        outs = {}
+        for sel in ("quadratic", "merge"):
+            fn = jax.jit(jax.vmap(
+                lambda k, sel=sel: sir_filter_sweep(
+                    k, ys, 128, 0.5, 0.2, 500, 70, selection=sel
+                )
+            ))
+            ll, se = fn(keys)
+            outs[sel] = (np.asarray(ll), np.asarray(se))
+    finally:
+        sw._MERGE_BLOCK_CAP = cap
+        sw._make_op.cache_clear()
     np.testing.assert_array_equal(outs["quadratic"][0], outs["merge"][0])
     np.testing.assert_array_equal(outs["quadratic"][1], outs["merge"][1])
 
