@@ -273,17 +273,26 @@ def _kernel(lw_ref, *rest, always_resample: bool, d: int,
 # (B=64 at N=128 overflowed the 16 MB scoped-vmem limit by 64 KB — the
 # mask, broadcast operand, and product each materialize one of these.)
 _SELECTION_VMEM_BUDGET = 2 * 1024 * 1024
+# Chain-block cap for merge-selection mode: the merge network holds no
+# [B, N, N] intermediate, so blocks can exceed the quadratic path's
+# budget-derived size. Round-4 per-day-path measurement at the bench
+# shape (bench.py --transition gillespie_pallas): cap 32 -> 317.9k
+# samples/s, 128 -> 402.2k, 256 -> 401.7k (wash); 128 keeps VMEM
+# headroom for models with more state columns.
+_MERGE_BLOCK_CAP = 128
 
 
 def _chains_per_program(c: int, n: int, selection: str = "quadratic") -> int:
     if selection == "merge":
         # No [B, N, N] intermediate: ~log2(2N) recorded swap masks plus
-        # working columns, all [B, 2N]; keep the quadratic path's block
-        # cap so blockings (and hence in-kernel PRNG streams) coincide
-        # at the benchmark shapes.
+        # working columns (per state column), all [B, 2N].
         stages = (2 * n - 1).bit_length()
         per_chain = 2 * n * 4 * (stages + 6)
-        b = max(1, min(c, 32, _SELECTION_VMEM_BUDGET // per_chain or 1))
+        b = max(
+            1,
+            min(c, _MERGE_BLOCK_CAP,
+                _SELECTION_VMEM_BUDGET // per_chain or 1),
+        )
     else:
         b = max(1, min(c, _SELECTION_VMEM_BUDGET // (n * n * 4) or 1))
     return 1 << (b.bit_length() - 1)
