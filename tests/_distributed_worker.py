@@ -86,6 +86,49 @@ def main():
     out = run_pmmh_dist(pmmh_mesh)
     print(f"PMMH DIGEST {digest(out)}", flush=True)
 
+    # ---- pmmh() with the PARTICLE axis sharded across processes ----
+    # Both phases then run inside shard_map over the 2x2 process-spanning
+    # mesh: weight normalization/ESS complete over pmax/psum and
+    # resampling goes through the distributed inverse-CDF path, with
+    # per-shard model streams — the deepest multi-host execution mode.
+    import warnings
+
+    from bayesssm_tpu.pmmh.driver import pmmh as _pmmh
+    from bayesssm_tpu.pmmh.tuning import default_tune_control
+
+    ps_mesh = global_chain_mesh(particle_axis_size=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out_ps = _pmmh(
+            "bootstrap_filter", np.asarray(y, np.float32), 8,
+            init_fn, trans_fn, loglik_fn,
+            {
+                "a": lambda v: jnp.where(jnp.abs(v) < 1, 0.0, -jnp.inf),
+                "sigma_x": lambda v: jnp.where(v > 0, -v, -jnp.inf),
+                "sigma_y": lambda v: jnp.where(v > 0, -v, -jnp.inf),
+            },
+            pilot_init_params={"a": 0.8, "sigma_x": 0.5, "sigma_y": 0.4},
+            burn_in=2, num_chains=2, seed=11,
+            tune_control=default_tune_control(
+                pilot_m=8, pilot_burn_in=2, pilot_reps=2
+            ),
+            mesh=ps_mesh, print_summary=False,
+        )
+    chains_ps = np.stack(
+        [out_ps.theta_chain[p] for p in sorted(out_ps.theta_chain)],
+        axis=-1,
+    )
+    assert chains_ps.shape == (2, 6, 3), chains_ps.shape
+    assert np.isfinite(chains_ps).all()
+    print(
+        "PMMH PS-DIGEST "
+        + np.array2string(
+            chains_ps.astype(np.float64), precision=6, separator=",",
+            threshold=10_000, floatmode="fixed",
+        ).replace("\n", ""),
+        flush=True,
+    )
+
     jax.distributed.shutdown()
     print(f"WORKER {pid} OK", flush=True)
 

@@ -58,13 +58,15 @@ def test_two_process_distributed_smoke():
         assert f"WORKER {pid} OK" in out, out
 
     # Full-run cross-process contract (test-pmmh.R:468-503 lift): every
-    # process gathers the identical full chain array.
-    digests = []
-    for out in outs:
-        lines = [ln for ln in out.splitlines() if ln.startswith("PMMH DIGEST ")]
-        assert len(lines) == 1, out
-        digests.append(lines[0])
-    assert digests[0] == digests[1], "\n--- vs ---\n".join(digests)
+    # process gathers the identical full chain array — for the plain
+    # chains mesh AND the particle-sharded (shard_map) mesh.
+    for tag in ("PMMH DIGEST ", "PMMH PS-DIGEST "):
+        digests = []
+        for out in outs:
+            lines = [ln for ln in out.splitlines() if ln.startswith(tag)]
+            assert len(lines) == 1, (tag, out)
+            digests.append(lines[0])
+        assert digests[0] == digests[1], "\n--- vs ---\n".join(digests)
 
 
 @pytest.mark.slow
