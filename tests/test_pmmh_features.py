@@ -167,3 +167,22 @@ def test_verbose_progress_reports_acceptance(capsys):
     assert "5/9 steps" in lines[0] and "9/9 steps" in lines[1]
     for ln in lines:
         assert "acceptance chunk" in ln and "cumulative" in ln
+
+
+def test_timings_include_all_phases():
+    """result.timings carries tuning, ahead-of-time chunk compilation,
+    and sampling phases (the AOT compile keeps executable loads out of
+    the sampling phase — pmmh docstring contract)."""
+    (init_fn, trans_fn, loglik_fn), log_priors, transform = lgss_model()
+    _, y = simulate_lgss(3, t_val=6)
+    out = quiet_pmmh(
+        pf_wrapper="bootstrap_filter", y=y, m=10,
+        init_fn=init_fn, transition_fn=trans_fn,
+        log_likelihood_fn=loglik_fn, log_priors=log_priors,
+        pilot_init_params={"a": 0.8, "sigma_x": 0.5, "sigma_y": 0.4},
+        burn_in=2, num_chains=2, seed=5, param_transform=transform,
+        tune_control=FAST_TUNE,
+    )
+    for phase in ("tuning", "compile", "sampling"):
+        assert phase in out.timings, out.timings
+        assert out.timings[phase] >= 0.0
