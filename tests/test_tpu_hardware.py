@@ -253,3 +253,29 @@ def test_merge_selection_large_n_on_device():
     ll = np.asarray(fn(keys))
     assert np.isfinite(ll).all()
     np.testing.assert_array_equal(np.asarray(fn(keys)), ll)
+
+
+def test_lgss_sweep_kalman_anchor_on_device():
+    """The LGSS whole-sweep kernel's log-marginal likelihood matches the
+    EXACT Kalman value on hardware (SISR => unbiased estimator). The one
+    whole-sweep kernel with an analytic anchor — validates the in-kernel
+    Box-Muller normals, Gaussian weights, and merge-selection resample
+    end-to-end against ground truth."""
+    from bayesssm_tpu.models.lgss import simulate_lgss
+    from bayesssm_tpu.ops.lgss_sweep_pallas import lgss_bpf_sweep
+    from bayesssm_tpu.utils.kalman import kalman_loglik
+
+    A, SX, SY = 0.9, 0.6, 0.4
+    _, y = simulate_lgss(11, t_val=20, a=A, sigma_x=SX, sigma_y=SY)
+    ys = jnp.asarray(y, jnp.float32)
+    truth = kalman_loglik(y, A, 1.0, SX, SY, p0=1.0)
+    C = 512
+    fn = jax.jit(jax.vmap(
+        lambda k: lgss_bpf_sweep(
+            k, ys, 1024, A, SX, SY, resample_algorithm="SISR"
+        )[0]
+    ))
+    ll = np.asarray(fn(jax.random.split(jax.random.key(0), C)), np.float64)
+    assert np.isfinite(ll).all()
+    se = ll.std() / np.sqrt(C)
+    assert abs(ll.mean() - truth) < max(5 * se, 0.1), (ll.mean(), truth)
