@@ -279,3 +279,43 @@ def test_lgss_sweep_kalman_anchor_on_device():
     assert np.isfinite(ll).all()
     se = ll.std() / np.sqrt(C)
     assert abs(ll.mean() - truth) < max(5 * se, 0.1), (ll.mean(), truth)
+
+
+def test_sweep_builder_on_device():
+    """The GENERIC whole-sweep builder (user callbacks traced into the
+    kernel) must lower and agree with the portable engine on hardware —
+    certifies the callback-in-Mosaic contract (Box-Muller normals,
+    merge-selection, SweepRng) beyond the interpreter."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_sweep_builder import PHI, SIG, MU, sv_init, sv_lw, sv_trans
+
+    from bayesssm_tpu.filters.bootstrap import bootstrap_filter
+    from bayesssm_tpu.models.stochastic_volatility import (
+        simulate_sv,
+        sv_model,
+    )
+    from bayesssm_tpu.ops.sweep_builder import build_sweep_op
+
+    _, y = simulate_sv(seed=3, t_val=10, phi=PHI, sigma=SIG, mu=MU)
+    ys = jnp.asarray(y, jnp.float32)
+    theta = jnp.array([PHI, SIG, MU], jnp.float32)
+    C = 256
+    op = build_sweep_op(1, sv_init, sv_trans, sv_lw, 3)
+    fn = jax.jit(jax.vmap(lambda k: op(k, ys, theta, 128)[0]))
+    ll = np.asarray(fn(jax.random.split(jax.random.key(0), C)), np.float64)
+    assert np.isfinite(ll).all()
+    np.testing.assert_array_equal(
+        np.asarray(fn(jax.random.split(jax.random.key(0), C))), ll
+    )
+    (init_fn, trans_fn, loglik_fn), _, _ = sv_model()
+    fp = jax.jit(jax.vmap(lambda k: bootstrap_filter(
+        k, ys, 128, init_fn, trans_fn, loglik_fn,
+        theta={"phi": PHI, "sigma": SIG, "mu": MU},
+        return_particles=False).loglike))
+    llp = np.asarray(
+        fp(jax.random.split(jax.random.key(1), C)), np.float64
+    )
+    se = np.hypot(ll.std(), llp.std()) / np.sqrt(C)
+    assert abs(ll.mean() - llp.mean()) < 4 * se + 0.05
