@@ -398,11 +398,16 @@ def particle_filter_core(
             "use_fused must be False/'auto' with resample_fn='metropolis'"
         )
     # Selection algorithm for the fused kernels: the O(N log N) merge
-    # network needs SORTED positions; multinomial keeps the quadratic
-    # masked-reduce (ops/merge_select.py, measured in
-    # scripts/particle_regime.py).
+    # network needs SORTED positions AND a power-of-two lane count (its
+    # XOR partner network is meaningless for composite N — see
+    # ops/merge_select.py contract); multinomial and non-pow2 N keep the
+    # quadratic masked-reduce (measured in scripts/particle_regime.py).
     fused_selection = (
-        "merge" if resample_fn in ("stratified", "systematic")
+        "merge"
+        if (
+            resample_fn in ("stratified", "systematic")
+            and n_static & (n_static - 1) == 0
+        )
         else "quadratic"
     )
     if sharded:

@@ -20,7 +20,11 @@ from bayesssm_tpu.models.distributions import (
     unif_logpdf,
 )
 
-__all__ = ["sinusoidal_model", "simulate_sinusoidal"]
+__all__ = [
+    "sinusoidal_model",
+    "simulate_sinusoidal",
+    "sinusoidal_sweep_pf_impl",
+]
 
 
 def sinusoidal_model():
@@ -46,6 +50,40 @@ def sinusoidal_model():
     # pmmh() Rd example uses.
     param_transform = {"phi": "identity", "sigma_x": "log", "sigma_y": "log"}
     return (init_fn, transition_fn, log_likelihood_fn), log_priors, param_transform
+
+
+def sinusoidal_sweep_pf_impl(interpret: bool = False):
+    """Whole-sweep ``pf_impl`` for the README model — a builder instance.
+
+    The reference's flagship example (/root/reference/README.md:100-211,
+    BASELINE.json config 1) on the fused fast path: one state column,
+    Box-Muller normals from the on-chip PRNG (Mosaic sin/cos are
+    hardware-assisted), Gaussian log-weights, merge-selection resample.
+    Usage: ``pmmh(..., pf_impl=sinusoidal_sweep_pf_impl())``. Sampling
+    distribution matches the portable ``sinusoidal_model()`` filters
+    (bit-streams differ; parity is distributional).
+    """
+    from bayesssm_tpu.ops.sweep_builder import build_sweep_pf_impl
+
+    half_log_2pi = np.float32(0.5 * np.log(2.0 * np.pi))
+
+    def init_fn(rng, theta):
+        return (rng.normal(),)
+
+    def transition_fn(rng, cols, theta, t):
+        phi, sigma_x, _ = theta
+        x = cols[0]
+        return (phi * x + jnp.sin(x) + sigma_x * rng.normal(),)
+
+    def log_weight_fn(cols, theta, y_t):
+        _, _, sigma_y = theta
+        r = (y_t - cols[0]) / sigma_y
+        return -0.5 * r * r - jnp.log(sigma_y) - half_log_2pi
+
+    return build_sweep_pf_impl(
+        1, init_fn, transition_fn, log_weight_fn,
+        ("phi", "sigma_x", "sigma_y"), interpret=interpret,
+    )
 
 
 def simulate_sinusoidal(seed=1405, t_val=20, phi=0.8, sigma_x=1.0, sigma_y=0.5):

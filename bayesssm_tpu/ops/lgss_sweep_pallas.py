@@ -34,7 +34,7 @@ import numpy as np
 
 from bayesssm_tpu.ops.sweep_builder import build_sweep_op
 
-__all__ = ["lgss_bpf_sweep", "lgss_sweep_pf_impl"]
+__all__ = ["lgss_bpf_sweep", "lgss_mv_bpf_sweep", "lgss_sweep_pf_impl"]
 
 _HALF_LOG_2PI = np.float32(0.5 * np.log(2.0 * np.pi))
 
@@ -102,6 +102,91 @@ def lgss_bpf_sweep(
         jnp.asarray(a, jnp.float32).reshape(()),
         jnp.asarray(sigma_x, jnp.float32).reshape(()),
         jnp.asarray(sigma_y, jnp.float32).reshape(()),
+    ])
+    return op(
+        key, y, theta_vec, num_particles,
+        max_particles=max_particles, threshold=threshold,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _lgss_mv_op(c1: float, c2: float, p0: float, resample_fn: str,
+                always_resample: bool, obs_gaps, interpret: bool):
+    c1f, c2f = np.float32(c1), np.float32(c2)
+    p032 = np.float32(p0)
+
+    def init(rng, theta):
+        return (p032 * rng.normal(),)
+
+    def trans(rng, cols, theta, t):
+        a, sx = theta[0], theta[1]
+        return (a * cols[0] + sx * rng.normal(),)
+
+    def lw(cols, theta, y_t):
+        sy1, sy2 = theta[2], theta[3]
+        y1, y2 = y_t                       # [T, 2] rows as SMEM scalars
+        r1 = (y1 - c1f * cols[0]) / sy1
+        r2 = (y2 - c2f * cols[0]) / sy2
+        return (
+            -0.5 * (r1 * r1 + r2 * r2)
+            - jnp.log(sy1) - jnp.log(sy2) - 2.0 * _HALF_LOG_2PI
+        )
+
+    return build_sweep_op(
+        1, init, trans, lw, 4, resample_fn=resample_fn,
+        always_resample=always_resample, interpret=interpret,
+        num_obs_cols=2, obs_gaps=obs_gaps,
+    )
+
+
+def lgss_mv_bpf_sweep(
+    key,
+    y,
+    num_particles,
+    a,
+    sigma_x,
+    sigma_y_vec,
+    c_vec=(1.0, 0.5),
+    p0: float = 1.0,
+    obs_times=None,
+    max_particles: int | None = None,
+    resample_fn: str = "stratified",
+    resample_algorithm: str = "SISAR",
+    threshold=None,
+    interpret: bool = False,
+):
+    """Vector-observation LGSS whole sweep (scalar state, d_y = 2).
+
+    Exercises the builder's multivariate observation rows
+    (``num_obs_cols=2``: each day reads ``y[t, :]`` as SMEM scalars,
+    /root/reference/R/particle_filter_core.R:176-183) and, when
+    ``obs_times`` is given, the in-kernel gap-propagation loop
+    (:122-137). Kalman-anchored against
+    ``utils/kalman.py::kalman_loglik_mv`` (tests/test_lgss_sweep.py;
+    on device in tests/test_tpu_hardware.py).
+
+    Model: ``x_0 ~ N(0, p0^2)``, ``x_t = a x_{t-1} + N(0, sigma_x^2)``,
+    ``y_t = c_vec x_t + N(0, diag(sigma_y_vec^2))``.
+    """
+    if resample_algorithm not in ("SISR", "SISAR"):
+        raise ValueError("lgss_mv_bpf_sweep supports SISR or SISAR only")
+    c1, c2 = (float(v) for v in c_vec)
+    sy1, sy2 = (jnp.asarray(v, jnp.float32).reshape(()) for v in sigma_y_vec)
+    if obs_times is not None:
+        from bayesssm_tpu.filters.core import _resolve_obs_times
+
+        ot = _resolve_obs_times(obs_times, int(jnp.asarray(y).shape[0]))
+        obs_gaps = tuple(np.diff(ot, prepend=0).tolist())
+    else:
+        obs_gaps = None
+    op = _lgss_mv_op(
+        c1, c2, float(p0), resample_fn,
+        resample_algorithm == "SISR", obs_gaps, bool(interpret),
+    )
+    theta_vec = jnp.stack([
+        jnp.asarray(a, jnp.float32).reshape(()),
+        jnp.asarray(sigma_x, jnp.float32).reshape(()),
+        sy1, sy2,
     ])
     return op(
         key, y, theta_vec, num_particles,

@@ -43,6 +43,16 @@ Exactness: every transported quantity is copied, never accumulated, so
 the result is bit-identical to the O(N^2) telescoped selection for the
 same (cdf, pos, v) inputs (pinned in tests/test_merge_select.py).
 
+CONTRACT — N must be a POWER OF TWO. The XOR-distance partner network
+and the ``lane & d`` bit tests are only meaningful when every stage
+distance d is a bit of the lane index; composite lane counts such as
+384 (valid under a bare "multiple of 128" check) silently route wrong
+partners. Callers gate on ``n & (n - 1) == 0``: the wrappers in
+ops/resampling_pallas.py and filters/core.py fall back to the quadratic
+masked-reduce, the sweep builder requires a power-of-two
+``max_particles``, and pmmh() pads its tuned particle bound to the next
+power of two (pinned in tests/test_merge_select.py::TestNonPowerOfTwo).
+
 Masks are int32 (0/1), not bool: Mosaic's lane rotates are exercised on
 int32/f32 only. Written with jnp ops + a ``roll_fn`` parameter so the
 same body runs inside a Pallas TPU kernel (``pltpu.roll``) and under

@@ -97,8 +97,25 @@ def metropolis_resample_indices(
     """
     weights = jnp.asarray(weights)
     n = weights.shape[-1]
+    calibrated = max(256, n // 8)
     if num_steps is None:
-        num_steps = max(256, n // 8)
+        num_steps = calibrated
+    elif num_steps < calibrated:
+        import warnings
+
+        # One-shot guard (default warning filter: once per location):
+        # the ~35/num_steps bias calibration is only validated at or
+        # above the default; fewer steps with concentrated weights can
+        # bias the likelihood by whole nats (tests/test_resampling.py::
+        # TestMetropolisBias pins the envelope).
+        warnings.warn(
+            f"metropolis resampling with num_steps={num_steps} below "
+            f"the calibrated default {calibrated}: expect a "
+            f"log-likelihood bias of roughly 35/num_steps = "
+            f"{35.0 / num_steps:.2f} nats (worse for concentrated "
+            "weights)",
+            stacklevel=2,
+        )
     n_out = n if num_out is None else int(num_out)
     batch_shape = weights.shape[:-1]
     dtype = weights.dtype

@@ -491,6 +491,13 @@ def fused_weight_resample(
     """
     if selection not in ("quadratic", "merge"):
         raise ValueError("selection must be 'quadratic' or 'merge'")
+    n_lanes = log_weights.shape[-1]
+    if selection == "merge" and n_lanes & (n_lanes - 1):
+        raise ValueError(
+            "selection='merge' requires a power-of-two lane count "
+            f"(got {n_lanes}); the XOR merge network is undefined for "
+            "composite N — use selection='quadratic'"
+        )
     op = _make_op(bool(always_resample), bool(interpret), selection)
     thr = jnp.asarray(threshold, particles.dtype).reshape(())
     return op(log_weights, particles, positions, uniform_w, thr)
@@ -512,8 +519,9 @@ def fused_weight_resample_seeded(
 
     ``selection="auto"`` picks the O(N log N) merge network for sorted
     position methods (stratified/systematic; measured faster at every
-    lane count, scripts/particle_regime.py) and the quadratic
-    masked-reduce for multinomial.
+    power-of-two lane count, scripts/particle_regime.py) and the
+    quadratic masked-reduce for multinomial or composite lane counts
+    (the XOR merge network requires N to be a power of two).
 
     Same contract as ``fused_weight_resample`` but the inverse-CDF query
     positions are drawn inside the kernel from the hardware PRNG
@@ -527,14 +535,25 @@ def fused_weight_resample_seeded(
     """
     if method not in ("stratified", "systematic", "multinomial"):
         raise ValueError(f"unknown resampling method {method!r}")
+    n_lanes = log_weights.shape[-1]
     if selection == "auto":
+        # Merge needs sorted positions AND a power-of-two lane count
+        # (ops/merge_select.py contract; composite N like 384 routes
+        # wrong XOR partners silently).
         selection = (
-            "merge" if method in ("stratified", "systematic")
+            "merge"
+            if method in ("stratified", "systematic")
+            and n_lanes & (n_lanes - 1) == 0
             else "quadratic"
         )
     if selection == "merge" and method == "multinomial":
         raise ValueError(
             "selection='merge' requires sorted positions"
+        )
+    if selection == "merge" and n_lanes & (n_lanes - 1):
+        raise ValueError(
+            "selection='merge' requires a power-of-two lane count "
+            f"(got {n_lanes}); use selection='quadratic'"
         )
     op = _make_seeded_op(
         method, bool(always_resample), bool(interpret), selection

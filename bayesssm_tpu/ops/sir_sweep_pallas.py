@@ -763,9 +763,19 @@ def sir_filter_sweep(
             "selection='merge' requires sorted positions "
             "(stratified/systematic)"
         )
+    if selection == "merge" and n_static & (n_static - 1):
+        raise ValueError(
+            "selection='merge' requires a power-of-two max_particles "
+            f"(got {n_static}); use selection='quadratic'"
+        )
     if selection == "auto":
+        # Merge needs sorted positions AND a power-of-two lane count
+        # (ops/merge_select.py contract).
         selection = (
-            "merge" if resample_fn != "multinomial" else "quadratic"
+            "merge"
+            if resample_fn != "multinomial"
+            and n_static & (n_static - 1) == 0
+            else "quadratic"
         )
 
     always = algorithm == "RMPF" or resample_algorithm == "SISR"

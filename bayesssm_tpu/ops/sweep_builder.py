@@ -63,7 +63,26 @@ _SELECTION_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 class SweepRng:
-    """In-kernel RNG handle passed to callbacks (uniforms + normals)."""
+    """In-kernel RNG handle passed to callbacks (uniforms + normals).
+
+    Callbacks that run their OWN jax control flow (e.g. an event
+    while_loop drawing per iteration, like the SIR Gillespie day) cannot
+    use the stateful :meth:`uniform`/:meth:`normal` inside the loop body
+    — the Python-attribute counter would leak a tracer out of the loop.
+    Thread the counter explicitly instead::
+
+        ctr = rng.counter()
+        def body(carry):
+            ..., ctr = carry
+            u, ctr = rng.raw_uniform_blocks(k, ctr)   # pure function
+            ...
+        ... = lax.while_loop(cond, body, (..., ctr))
+        rng.set_counter(ctr_out)   # BEFORE returning from the callback
+
+    (Under the hardware PRNG the counter is not consumed for bits —
+    ``prng_random_bits`` is stateful — but it must still be threaded so
+    the interpret-mode software stream, which hashes it, stays exact.)
+    """
 
     def __init__(self, draw):
         self._draw = draw
@@ -74,6 +93,13 @@ class SweepRng:
         u, self._ctr = self._draw(1, self._ctr)
         return u[0]
 
+    def uniforms(self, k):
+        """``k`` [B, N] uniform blocks from ONE generator call (cheaper
+        than ``k`` separate :meth:`uniform` calls under the hardware
+        PRNG). Returns a [k, B, N] stack."""
+        u, self._ctr = self._draw(int(k), self._ctr)
+        return u
+
     def normal(self):
         """One [B, N] standard-normal block (Box-Muller)."""
         import numpy as np
@@ -81,6 +107,23 @@ class SweepRng:
         u, self._ctr = self._draw(2, self._ctr)
         r = jnp.sqrt(-2.0 * jnp.log(1.0 - u[0]))
         return r * jnp.cos(np.float32(2.0 * np.pi) * u[1])
+
+    def counter(self):
+        """Current draw counter (int32, may be traced)."""
+        return self._ctr
+
+    def set_counter(self, ctr):
+        """Restore the counter after explicit threading (docstring)."""
+        self._ctr = ctr
+
+    def raw_uniform_blocks(self, nblk, ctr):
+        """``nblk`` [B, N] uniform blocks as a PURE function of ``ctr``.
+
+        Returns ``(blocks [nblk, B, N], new_ctr)``; does NOT touch the
+        handle's own counter — for use inside callback-managed control
+        flow with the counter in the loop carry.
+        """
+        return self._draw(nblk, ctr)
 
 
 def _chains_per_program(c: int, n: int, d: int) -> int:
@@ -95,7 +138,8 @@ def _chains_per_program(c: int, n: int, d: int) -> int:
 
 def _make_kernel(n, num_obs, d, p, init_fn, transition_fn, log_weight_fn,
                  aux_log_weight_fn, move_fn, method, always_resample,
-                 software_prng):
+                 software_prng, d_y=1, pack_fn=None, unpack_fn=None,
+                 gapped=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -111,11 +155,16 @@ def _make_kernel(n, num_obs, d, p, init_fn, transition_fn, log_weight_fn,
     degenerate = np.float32(-1e8)
 
     def kernel(*refs):
-        seed_ref, y_ref, sd0_ref, sd1_ref = refs[:4]
-        theta_refs = refs[4 : 4 + p]
-        alive_ref, thr_ref = refs[4 + p : 6 + p]
-        ll_ref = refs[6 + p]
-        est_refs = refs[7 + p : 7 + p + d]
+        seed_ref, y_ref = refs[:2]
+        base = 2
+        if gapped:
+            gaps_ref, times_ref = refs[2:4]
+            base = 4
+        sd0_ref, sd1_ref = refs[base : base + 2]
+        theta_refs = refs[base + 2 : base + 2 + p]
+        alive_ref, thr_ref = refs[base + 2 + p : base + 4 + p]
+        ll_ref = refs[base + 4 + p]
+        est_refs = refs[base + 5 + p : base + 5 + p + d]
 
         alive_ct = alive_ref[:, 0:1]
         thr = thr_ref[:, 0:1]
@@ -211,6 +260,23 @@ def _make_kernel(n, num_obs, d, p, init_fn, transition_fn, log_weight_fn,
             out = merge_select_cols(cdf_ext, pos, carries, v0s, lane, roll)
             return tuple(jnp.where(alive_mask, o, 0.0) for o in out)
 
+        def select_state(w, pos, cols, extra=()):
+            """Selection with optional column packing: route
+            ``pack_fn(cols)`` (fewer columns through the merge network,
+            e.g. two integer counts packed into one f32 lane) plus any
+            ``extra`` columns, unpack the state part, re-mask. Returns
+            ``(selected_cols, selected_extra)``."""
+            route = tuple(pack_fn(cols)) if pack_fn is not None else cols
+            nr = len(route)
+            out = select(w, pos, route + tuple(extra))
+            sel = out[:nr]
+            if unpack_fn is not None:
+                sel = tuple(
+                    jnp.where(alive_mask, o, 0.0)
+                    for o in unpack_fn(sel)
+                )
+            return sel, out[nr:]
+
         rng = SweepRng(draw)
         cols = tuple(init_fn(rng, theta))
         assert len(cols) == d, "init_fn must return num_state_cols columns"
@@ -233,9 +299,38 @@ def _make_kernel(n, num_obs, d, p, init_fn, transition_fn, log_weight_fn,
             rng = SweepRng(draw)
             rng._ctr = ctr
             est_mask = est_col == t + 1
-            y_t = y_ref[t]
+            # y is a FLAT [T * d_y] SMEM array (1D scalar reads are the
+            # Mosaic-safe layout); row t's columns are t*d_y + j.
+            y_t = (
+                y_ref[t] if d_y == 1
+                else tuple(y_ref[t * d_y + j] for j in range(d_y))
+            )
 
-            cols = tuple(transition_fn(rng, cols, theta, t))
+            if gapped:
+                # Irregular observation grid (gap-propagation loop of
+                # /root/reference/R/particle_filter_core.R:122-137):
+                # apply the transition gaps[t] times; the callback's time
+                # argument is the absolute 0-based transition index
+                # times[t] - gaps[t] + s, which reduces to the day index
+                # t on a contiguous grid.
+                gap = gaps_ref[t]
+                t_end = times_ref[t]
+
+                def gap_body(s, gcarry):
+                    gcols, gctr = gcarry
+                    grng = SweepRng(draw)
+                    grng._ctr = gctr
+                    gcols = tuple(
+                        transition_fn(grng, gcols, theta, t_end - gap + s)
+                    )
+                    return gcols, grng._ctr
+
+                cols, ctr2 = jax.lax.fori_loop(
+                    0, gap, gap_body, (cols, rng._ctr)
+                )
+                rng._ctr = ctr2
+            else:
+                cols = tuple(transition_fn(rng, cols, theta, t))
 
             if aux_log_weight_fn is not None:
                 aux_lw = jnp.where(
@@ -248,13 +343,26 @@ def _make_kernel(n, num_obs, d, p, init_fn, transition_fn, log_weight_fn,
                 sha = jnp.exp(aux_lw - mxa)
                 wa = sha / jnp.sum(sha, axis=-1, keepdims=True)
                 pos_a = draw_positions(rng)
-                # Carry the aux column THROUGH the selection alongside
-                # the state (merge copies are exact for any f32, so no
-                # recompute trick is needed in the generic builder).
-                safe_aux = jnp.maximum(aux_lw, neg)
-                sel = select(wa, pos_a, cols + (safe_aux,))
-                cols, aux_anc = sel[:-1], sel[-1]
-                cols = tuple(transition_fn(rng, cols, theta, t))  # Q2
+                cols, _ = select_state(wa, pos_a, cols)
+                # Ancestor aux weight RECOMPUTED from the selected state
+                # instead of routed as an extra merge column: selection
+                # copies (and pack/unpack) are exact, and the aux weight
+                # is a deterministic function of (cols, theta, y_t), so
+                # the recompute equals the gather bit-for-bit while
+                # keeping one fewer column in the merge network
+                # (measured +9% APF throughput at the benchmark shape —
+                # the same trick as ops/sir_sweep_pallas.py:449-452).
+                aux_anc = jnp.maximum(
+                    jnp.where(
+                        alive_mask,
+                        aux_log_weight_fn(cols, theta, y_t), neg,
+                    ),
+                    neg,
+                )
+                # Q2: ONE second transition at the observation time
+                # (times_ref[t] - 1 == t on a contiguous grid).
+                t_q2 = times_ref[t] - 1 if gapped else t
+                cols = tuple(transition_fn(rng, cols, theta, t_q2))
                 lw = masked_lw(cols, y_t) - aux_anc
                 lw = jnp.where(alive_mask, lw, neg)
             else:
@@ -269,7 +377,7 @@ def _make_kernel(n, num_obs, d, p, init_fn, transition_fn, log_weight_fn,
             loglike = loglike + mx + jnp.log(ssum) - jnp.log(alive_ct)
 
             pos = draw_positions(rng)
-            res = select(w, pos, cols)
+            res, _ = select_state(w, pos, cols)
 
             if always_resample:
                 cols = res
@@ -314,7 +422,9 @@ def _make_kernel(n, num_obs, d, p, init_fn, transition_fn, log_weight_fn,
 
 def _batched_call(seeds, thetas, alive, thr, y, *, n_static, d, init_fn,
                   transition_fn, log_weight_fn, aux_log_weight_fn,
-                  move_fn, method, always_resample, interpret):
+                  move_fn, method, always_resample, interpret,
+                  d_y=1, pack_fn=None, unpack_fn=None, num_packed_cols=1,
+                  gaps=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -323,14 +433,19 @@ def _batched_call(seeds, thetas, alive, thr, y, *, n_static, d, init_fn,
     n = n_static
     num_obs = y.shape[0]
     t1 = num_obs + 1
+    gapped = gaps is not None
 
-    b = _chains_per_program(c, n, d)
+    # VMEM budget counts the columns actually ROUTED through the merge
+    # network (the ancestor aux weight is recomputed, not routed).
+    d_route = num_packed_cols if pack_fn is not None else d
+    b = _chains_per_program(c, n, d_route)
     g = -(-c // b)
     pad = g * b - c
     if pad:
         seeds = jnp.pad(seeds, [(0, pad), (0, 0)])
-        # Padded chains keep the FIRST chain's theta (guaranteed inside
-        # whatever support the model needs) with one alive lane.
+        # Padded chains replicate the LAST chain's theta (mode="edge" —
+        # any real chain's theta is in-support) with one alive lane;
+        # padded outputs are discarded.
         thetas = tuple(
             jnp.pad(t, (0, pad), mode="edge") for t in thetas
         )
@@ -340,7 +455,8 @@ def _batched_call(seeds, thetas, alive, thr, y, *, n_static, d, init_fn,
     kernel = _make_kernel(
         n, int(num_obs), d, p, init_fn, transition_fn, log_weight_fn,
         aux_log_weight_fn, move_fn, method, bool(always_resample),
-        bool(interpret),
+        bool(interpret), d_y=int(d_y), pack_fn=pack_fn,
+        unpack_fn=unpack_fn, gapped=gapped,
     )
     space = pl.ANY if interpret else pltpu.VMEM
     smem = pl.ANY if interpret else pltpu.SMEM
@@ -365,6 +481,15 @@ def _batched_call(seeds, thetas, alive, thr, y, *, n_static, d, init_fn,
         return jnp.broadcast_to(x[:, None], (g * b, n)).reshape(g, b, n)
 
     sdim = (b, n)
+    y1d = y.astype(jnp.float32).reshape(num_obs * d_y)
+    gap_specs, gap_args = [], []
+    if gapped:
+        import numpy as np
+
+        gaps_np = np.asarray(gaps, np.int32)
+        times_np = np.cumsum(gaps_np).astype(np.int32)
+        gap_specs = [whole((num_obs,)), whole((num_obs,))]
+        gap_args = [jnp.asarray(gaps_np), jnp.asarray(times_np)]
     outs = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -372,15 +497,17 @@ def _batched_call(seeds, thetas, alive, thr, y, *, n_static, d, init_fn,
             [jax.ShapeDtypeStruct((g, b, 1), jnp.float32)]
             + [jax.ShapeDtypeStruct((g, b, t1), jnp.float32)] * d
         ),
-        in_specs=[whole((g, 2)), whole((num_obs,)), spec(*sdim),
-                  spec(*sdim)]
+        in_specs=[whole((g, 2)), whole((num_obs * d_y,))]
+        + gap_specs
+        + [spec(*sdim), spec(*sdim)]
         + [spec(*sdim)] * p
         + [spec(*sdim), spec(*sdim)],
         out_specs=tuple([spec(b, 1)] + [spec(b, t1)] * d),
         interpret=interpret,
     )(
         seeds.reshape(g, b, 2)[:, 0, :],
-        y.astype(jnp.float32),
+        y1d,
+        *gap_args,
         scol(seeds[:, 0]),
         scol(seeds[:, 1]),
         *[col(t) for t in thetas],
@@ -404,24 +531,60 @@ def build_sweep_op(
     resample_fn: str = "stratified",
     always_resample: bool = False,
     interpret: bool = False,
+    num_obs_cols: int = 1,
+    pack_fn=None,
+    unpack_fn=None,
+    num_packed_cols: int = 1,
+    obs_gaps=None,
 ):
     """Build the vmap-aware whole-sweep op (module docstring contract).
 
-    Returns ``op(key, y [T], theta_vec [P], num_particles, max_particles,
-    threshold) -> (loglike, state_est [T+1(, d)])``.
+    Returns ``op(key, y [T] or [T, num_obs_cols], theta_vec [P],
+    num_particles, max_particles, threshold) -> (loglike,
+    state_est [T+1(, d)])``.
+
+    ``num_obs_cols`` (d_y): observation columns; callbacks receive
+    ``y_t`` as a scalar when 1 (back-compat) or a tuple of d_y scalars
+    read from SMEM (multivariate rows,
+    /root/reference/R/particle_filter_core.R:176-183 — also usable for
+    per-observation precomputed constants like ``lgamma(y + 1)``).
+
+    ``pack_fn(cols) -> tuple`` / ``unpack_fn(packed) -> cols`` (with
+    ``num_packed_cols`` = the packed tuple's length) optionally shrink
+    the column set routed through the merge network per resample — e.g.
+    two integer counts packed into one exact f32 lane (the
+    ops/sir_sweep_pallas.py trick, generically). Merge copies are exact
+    for any f32, so packing is purely a throughput optimization.
+
+    ``obs_gaps``: static per-observation transition counts (tuple of
+    ints >= 1, one per observation) for irregular observation grids
+    (/root/reference/R/particle_filter_core.R:122-137). ``None`` = one
+    transition per observation (contiguous). The callback's time
+    argument is the absolute 0-based transition index.
     """
     if resample_fn not in ("stratified", "systematic"):
         raise ValueError(
             "the sweep builder resamples through the merge network and "
             "requires sorted positions (stratified/systematic)"
         )
+    if (pack_fn is None) != (unpack_fn is None):
+        raise ValueError("pack_fn and unpack_fn must be given together")
+    if obs_gaps is not None:
+        obs_gaps = tuple(int(g) for g in obs_gaps)
+        if any(g < 1 for g in obs_gaps):
+            raise ValueError("obs_gaps entries must be >= 1")
+        if all(g == 1 for g in obs_gaps):
+            obs_gaps = None  # contiguous: keep the no-inner-loop path
 
+    d_y = int(num_obs_cols)
     kw = dict(
         d=int(num_state_cols), init_fn=init_fn,
         transition_fn=transition_fn, log_weight_fn=log_weight_fn,
         aux_log_weight_fn=aux_log_weight_fn, move_fn=move_fn,
         method=resample_fn, always_resample=bool(always_resample),
-        interpret=bool(interpret),
+        interpret=bool(interpret), d_y=d_y, pack_fn=pack_fn,
+        unpack_fn=unpack_fn, num_packed_cols=int(num_packed_cols),
+        gaps=obs_gaps,
     )
     p = int(num_params)
 
@@ -472,11 +635,29 @@ def build_sweep_op(
         if max_particles is None:
             max_particles = int(num_particles)
         n_static = int(max_particles)
-        if n_static % 128 or n_static > 1024:
+        if n_static < 128 or n_static > 1024 or n_static & (n_static - 1):
+            # The builder's selection step is merge-only (no quadratic
+            # fallback), and the merge network requires a power of two
+            # (ops/merge_select.py contract).
             raise ValueError(
-                "max_particles must be a multiple of 128 and <= 1024"
+                "max_particles must be a power of two in [128, 1024] "
+                f"(got {n_static}); the fused sweep resamples through "
+                "the bitonic merge network, which is undefined for "
+                "composite lane counts"
             )
-        ys = jnp.asarray(y, jnp.float32).reshape(-1)
+        ys = jnp.asarray(y, jnp.float32)
+        if d_y == 1:
+            ys = ys.reshape(-1, 1)
+        elif ys.ndim != 2 or ys.shape[1] != d_y:
+            raise ValueError(
+                f"y must be [T, {d_y}] for num_obs_cols={d_y} "
+                f"(got shape {ys.shape})"
+            )
+        if obs_gaps is not None and len(obs_gaps) != ys.shape[0]:
+            raise ValueError(
+                f"obs_gaps has {len(obs_gaps)} entries but y has "
+                f"{ys.shape[0]} observations"
+            )
         kd = jnp.ravel(jax.random.key_data(key))[:2]
         seeds = jax.lax.bitcast_convert_type(
             kd.astype(jnp.uint32), jnp.int32
@@ -503,13 +684,27 @@ def build_sweep_pf_impl(
     aux_log_weight_fn=None,
     move_fn=None,
     interpret: bool = False,
+    num_obs_cols: int = 1,
+    pack_fn=None,
+    unpack_fn=None,
+    num_packed_cols: int = 1,
+    obs_transform=None,
 ):
     """PMMH ``pf_impl`` factory over :func:`build_sweep_op`.
 
     ``param_names`` fixes the order of the ``theta`` tuple the callbacks
     receive. Supports BPF (plus APF when ``aux_log_weight_fn`` is given
-    and RMPF when ``move_fn`` is given), fresh-weight SISR/SISAR on
-    contiguous observation times, stratified/systematic resampling.
+    and RMPF when ``move_fn`` is given), fresh-weight SISR/SISAR,
+    stratified/systematic resampling, multivariate observation rows
+    (``num_obs_cols``), irregular ``obs_times`` (static gap counts,
+    compiled into the kernel's day loop), and optional selection
+    packing (see :func:`build_sweep_op`).
+
+    ``obs_transform(y) -> [T, num_obs_cols]``: optional host-side map
+    applied to the driver's raw ``y`` once per pmmh() call — the place
+    to append precomputed per-observation constants the kernel should
+    not recompute per lane (e.g. ``lgamma(y + 1)`` for a Poisson
+    weight, the trick of ops/sir_sweep_pallas.py's host-side ``lgy``).
     """
     expected_params = tuple(param_names)
 
@@ -533,9 +728,19 @@ def build_sweep_pf_impl(
         if algorithm == "RMPF" and move_fn is None:
             raise ValueError("RMPF requires the builder's move_fn")
         if obs_times is not None:
-            raise ValueError(
-                "the sweep builder supports contiguous obs_times only"
+            # Static gap counts (one transition run per unit time,
+            # /root/reference/R/particle_filter_core.R:122-137), with the
+            # same validation contract as the portable core.
+            import numpy as np
+
+            from bayesssm_tpu.filters.core import _resolve_obs_times
+
+            ot = _resolve_obs_times(
+                obs_times, int(jnp.asarray(y).shape[0])
             )
+            obs_gaps = tuple(np.diff(ot, prepend=0).tolist())
+        else:
+            obs_gaps = None
         if carry_weights:
             raise ValueError(
                 "the sweep builder implements the reference fresh-weight "
@@ -557,9 +762,13 @@ def build_sweep_pf_impl(
             ),
             move_fn=move_fn if algorithm == "RMPF" else None,
             resample_fn=resample_fn, always_resample=always,
-            interpret=interpret,
+            interpret=interpret, num_obs_cols=num_obs_cols,
+            pack_fn=pack_fn, unpack_fn=unpack_fn,
+            num_packed_cols=num_packed_cols, obs_gaps=obs_gaps,
         )
         ys = jnp.asarray(y, jnp.float32)
+        if obs_transform is not None:
+            ys = jnp.asarray(obs_transform(ys), jnp.float32)
 
         def pf(key, theta_vec, n=num_particles):
             return op(

@@ -11,8 +11,9 @@ sync between them:
                       (R/pmmh.R:345-389, R/pmmh_tuning.R), vmapped.
   host sync         — the tuned per-chain particle counts (Q9) are pulled to
                       the host; the static particle-lane bound for phase 2 is
-                      the max count rounded up to a multiple of 128 (masked
-                      lanes make each chain use exactly its own target_n).
+                      the max count rounded up to the next power of two >= 128
+                      (fused merge-selection alignment; masked lanes make each
+                      chain use exactly its own target_n).
   phase 2 (sampling)— the m-step MH loop (R/pmmh.R:422-500), vmapped.
 
 Matching reference semantics: MVN proposals in transformed space with the
@@ -121,6 +122,22 @@ def _proposal_factor(cov: np.ndarray) -> np.ndarray:
     eigval, eigvec = np.linalg.eigh(cov)
     eigval = np.clip(eigval, 0.0, None)
     return (eigvec * np.sqrt(eigval)[None, :]).astype(np.float32)
+
+
+def _particle_lane_bound(max_n: int) -> int:
+    """Static particle-lane bound: next power of two >= max(max_n, 128).
+
+    Power-of-two (not merely 128-aligned) because the fused kernels'
+    merge-selection network and the sweep builder require it
+    (ops/merge_select.py contract); a composite bound like 384 would
+    silently lose the O(N log N) fast path. Masked lanes keep each
+    chain at its own tuned target_n (Q9), so the padding choice is
+    statistically invisible.
+    """
+    bound = 128
+    while bound < max_n:
+        bound *= 2
+    return bound
 
 
 def pmmh(
@@ -441,12 +458,15 @@ def pmmh(
             resume_state["meta"]["prop_factors"], dtype=np.float32
         )
 
-    # Static particle-lane bound: max tuned count, padded to a multiple of
-    # 128 (TPU lane width; also the fused Pallas kernel's alignment
-    # requirement); per-chain masking keeps each chain at its own target_n
-    # (Q9).
-    max_n = int(target_n.max())
-    max_particles = ((max_n + 127) // 128) * 128
+    # Static particle-lane bound: max tuned count, padded to the next
+    # POWER OF TWO >= 128 (TPU lane width; the fused kernels' merge
+    # selection network and the sweep builder require power-of-two lane
+    # counts — ops/merge_select.py contract). Per-chain masking keeps
+    # each chain at its own target_n (Q9), so the padding choice is
+    # statistically invisible; pow2 keeps every tuned count on the
+    # O(N log N) fused fast path (a 128-multiple like 384 would silently
+    # fall back to the quadratic selection or reject the sweep builder).
+    max_particles = _particle_lane_bound(int(target_n.max()))
 
     # ---------------- phase 2: main PMMH chains (chunked) ----------------
     pf = pf_factory(

@@ -116,8 +116,11 @@ def test_validation(ys):
     with pytest.raises(ValueError, match="SISR or SISAR"):
         lgss_bpf_sweep(jax.random.key(0), ys, N, A, SX, SY,
                        resample_algorithm="SIS", interpret=True)
-    with pytest.raises(ValueError, match="multiple of 128"):
+    with pytest.raises(ValueError, match="power of two"):
         lgss_bpf_sweep(jax.random.key(0), ys, 100, A, SX, SY,
+                       interpret=True)
+    with pytest.raises(ValueError, match="power of two"):
+        lgss_bpf_sweep(jax.random.key(0), ys, 384, A, SX, SY,
                        interpret=True)
 
 
@@ -157,3 +160,102 @@ def test_pf_impl_validation(ys):
         factory(**{**kw, "algorithm": "APF"})
     with pytest.raises(ValueError, match="sigma_x"):
         factory(**{**kw, "param_names": ["x", "y", "z"]})
+
+
+# ---------------- multivariate observations + obs_times gaps ----------------
+# The builder's round-5 extensions, anchored EXACTLY: vector observation
+# rows (/root/reference/R/particle_filter_core.R:176-183) against the
+# multivariate Kalman filter, and irregular observation grids (:122-137)
+# against a gap-aware Kalman recursion.
+
+CV = (1.0, 0.5)
+SYV = (0.4, 0.7)
+
+
+def _simulate_mv(seed, t_val, obs_times=None):
+    rng = np.random.default_rng(seed)
+    times = (
+        np.arange(1, t_val + 1) if obs_times is None
+        else np.asarray(obs_times)
+    )
+    x = rng.normal()  # p0 = 1
+    ys = []
+    tprev = 0
+    for t in times:
+        for _ in range(int(t - tprev)):
+            x = A * x + SX * rng.normal()
+        tprev = t
+        ys.append([
+            CV[0] * x + SYV[0] * rng.normal(),
+            CV[1] * x + SYV[1] * rng.normal(),
+        ])
+    return np.asarray(ys, dtype=np.float64)
+
+
+def _kalman_mv_gaps(y, gaps):
+    """Float64 Kalman recursion with `gaps[i]` predicts per observation."""
+    m, p = 0.0, 1.0
+    qx, cv = SX**2, np.asarray(CV)
+    rv = np.asarray(SYV) ** 2
+    ll = 0.0
+    for obs, gap in zip(np.asarray(y, np.float64), gaps):
+        for _ in range(int(gap)):
+            m = A * m
+            p = A * A * p + qx
+        s = np.outer(cv, cv) * p + np.diag(rv)
+        resid = obs - cv * m
+        sign, logdet = np.linalg.slogdet(2.0 * np.pi * s)
+        ll += -0.5 * (logdet + resid @ np.linalg.solve(s, resid))
+        gain = p * (cv @ np.linalg.inv(s))
+        m = m + float(gain @ resid)
+        p = float((1.0 - gain @ cv) * p)
+    return float(ll)
+
+
+def _mv_batch(y, c, key=0, obs_times=None, num_particles=256):
+    from bayesssm_tpu.ops.lgss_sweep_pallas import lgss_mv_bpf_sweep
+
+    keys = jax.random.split(jax.random.key(key), c)
+
+    def one(k):
+        return lgss_mv_bpf_sweep(
+            k, jnp.asarray(y, jnp.float32), num_particles, A, SX, SYV,
+            c_vec=CV, obs_times=obs_times,
+            resample_algorithm="SISR", interpret=True,
+        )
+
+    return jax.jit(jax.vmap(one))(keys)
+
+
+def test_mv_loglike_matches_kalman():
+    from bayesssm_tpu.utils.kalman import kalman_loglik_mv
+
+    y = _simulate_mv(21, 10)
+    truth = kalman_loglik_mv(y, A, CV, SX, SYV, p0=1.0)
+    c = 96
+    ll, _ = _mv_batch(y, c, key=22)
+    lls = np.asarray(ll, dtype=np.float64)
+    assert np.isfinite(lls).all()
+    se = lls.std() / np.sqrt(c)
+    assert abs(lls.mean() - truth) < max(5 * se, 0.15), (lls.mean(), truth)
+
+
+def test_gapped_loglike_matches_kalman():
+    obs_times = (1, 3, 4, 7, 8, 10)
+    gaps = (1, 2, 1, 3, 1, 2)
+    y = _simulate_mv(31, None, obs_times=obs_times)
+    truth = _kalman_mv_gaps(y, gaps)
+    c = 96
+    ll, _ = _mv_batch(y, c, key=23, obs_times=obs_times)
+    lls = np.asarray(ll, dtype=np.float64)
+    assert np.isfinite(lls).all()
+    se = lls.std() / np.sqrt(c)
+    assert abs(lls.mean() - truth) < max(5 * se, 0.2), (lls.mean(), truth)
+
+
+def test_gapped_state_est_shape():
+    obs_times = (2, 5, 6)
+    y = _simulate_mv(41, None, obs_times=obs_times)
+    ll, est = _mv_batch(y, 4, key=24, obs_times=obs_times)
+    assert est.shape == (4, len(obs_times) + 1)
+    assert bool(jnp.isfinite(est).all())

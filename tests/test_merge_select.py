@@ -115,6 +115,122 @@ def test_degenerate_single_alive():
     np.testing.assert_array_equal(got, np.tile(v[:, 0:1], (1, 8)))
 
 
+class TestNonPowerOfTwo:
+    """The merge network is pow2-only (XOR partners); composite lane
+    counts like 384 — valid under a bare multiple-of-128 check and
+    reachable via PMMH's tuned particle bound before round 5 — must
+    route to the quadratic selection or be rejected, never silently
+    produce wrong ancestors (round-4 advisor finding, high severity)."""
+
+    N = 384  # multiple of 128, <= 1024, NOT a power of two
+
+    def test_explicit_merge_rejected_positions_variant(self):
+        from bayesssm_tpu.ops.resampling_pallas import fused_weight_resample
+
+        n = self.N
+        lw = jnp.zeros((n,), jnp.float32)
+        pts = jnp.zeros((n, 1), jnp.float32)
+        pos = jnp.linspace(0.0, 0.99, n).astype(jnp.float32)
+        uw = jnp.full((n,), 1.0 / n, jnp.float32)
+        with pytest.raises(ValueError, match="power-of-two"):
+            fused_weight_resample(
+                lw, pts, pos, uw, jnp.float32(n / 2),
+                interpret=True, selection="merge",
+            )
+
+    def test_explicit_merge_rejected_seeded_variant(self):
+        from bayesssm_tpu.ops.resampling_pallas import (
+            fused_weight_resample_seeded,
+        )
+
+        n = self.N
+        lw = jnp.zeros((n,), jnp.float32)
+        pts = jnp.zeros((n, 1), jnp.float32)
+        uw = jnp.full((n,), 1.0 / n, jnp.float32)
+        with pytest.raises(ValueError, match="power-of-two"):
+            fused_weight_resample_seeded(
+                lw, pts, jax.random.key(0), jnp.float32(n), uw,
+                jnp.float32(n / 2), interpret=True, selection="merge",
+            )
+
+    def test_auto_matches_portable_bitwise(self):
+        # End-to-end through the filter core in the strict host-positions
+        # parity mode: at N=384 the auto selection must fall back to the
+        # quadratic masked-reduce and reproduce the portable path (the
+        # pre-fix merge routing returned ~383/384 wrong ancestors here).
+        from bayesssm_tpu.filters.core import particle_filter_core
+
+        rng = np.random.default_rng(11)
+        ys = rng.normal(size=8).astype(np.float32)
+        key = jax.random.key(5)
+        def init_fn(key, num_particles):
+            return jax.random.normal(key, (num_particles,))
+
+        def transition_fn(key, particles, t):
+            return 0.9 * particles + 0.5 * jax.random.normal(
+                key, particles.shape
+            )
+
+        def weight_fn(y, particles, t):
+            return -0.5 * ((y - particles) / 0.4) ** 2
+
+        kw = dict(
+            init_fn=init_fn, transition_fn=transition_fn,
+            weight_fn=weight_fn, resample_fn="stratified",
+        )
+        fused = particle_filter_core(
+            key, ys, self.N, use_fused="interpret", **kw
+        )
+        portable = particle_filter_core(
+            key, ys, self.N, use_fused=False, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.loglike), np.asarray(portable.loglike),
+            rtol=2e-5, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.state_est), np.asarray(portable.state_est),
+            rtol=1e-4, atol=5e-4,
+        )
+
+    def test_sweep_builder_rejects_composite_lanes(self):
+        from bayesssm_tpu.ops.sweep_builder import build_sweep_op
+
+        op = build_sweep_op(
+            num_state_cols=1,
+            init_fn=lambda rng, theta: (rng.normal(),),
+            transition_fn=lambda rng, cols, theta, t: (cols[0],),
+            log_weight_fn=lambda cols, theta, y_t: -0.5 * cols[0] ** 2,
+            num_params=1,
+            interpret=True,
+        )
+        with pytest.raises(ValueError, match="power of two"):
+            op(
+                jax.random.key(0), np.zeros(4, np.float32),
+                np.ones(1, np.float32), self.N,
+            )
+
+    def test_sir_sweep_explicit_merge_rejected(self):
+        from bayesssm_tpu.ops.sir_sweep_pallas import sir_filter_sweep
+
+        with pytest.raises(ValueError, match="power-of-two"):
+            sir_filter_sweep(
+                jax.random.key(0), np.array([3.0, 2.0], np.float32),
+                self.N, 0.5, 0.2, 100.0, 2.0,
+                selection="merge", interpret=True,
+            )
+
+    def test_pmmh_lane_bound_is_pow2(self):
+        from bayesssm_tpu.pmmh.driver import _particle_lane_bound
+
+        assert _particle_lane_bound(50) == 128
+        assert _particle_lane_bound(128) == 128
+        assert _particle_lane_bound(129) == 256
+        assert _particle_lane_bound(300) == 512   # was 384 pre-fix
+        assert _particle_lane_bound(513) == 1024
+        assert _particle_lane_bound(1000) == 1024  # Q10 clamp max
+
+
 def test_zero_weight_prefix_run():
     # equal-cdf run at the very start (zero-weight prefix).
     w = np.array([[0.0, 0.0, 0.0, 0.5, 0.5, 0.0, 0.0, 0.0]], np.float32)

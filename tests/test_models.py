@@ -302,3 +302,68 @@ class TestStochasticVolatility:
         assert phi_chain.shape == (2, 10)
         assert np.isfinite(phi_chain).all()
         assert ((phi_chain > 0) & (phi_chain < 1)).all()
+
+
+class TestSinusoidalSweep:
+    """The README model's builder-instance fast path
+    (models/sinusoidal.py::sinusoidal_sweep_pf_impl) matches the
+    portable engine distributionally (interpret mode)."""
+
+    def _ys(self):
+        _, y = simulate_sinusoidal(seed=7, t_val=10)
+        return jnp.asarray(y, jnp.float32)
+
+    def test_matches_portable(self):
+        from bayesssm_tpu.models.sinusoidal import sinusoidal_sweep_pf_impl
+
+        ys = self._ys()
+        c, n = 128, 128
+        pf = sinusoidal_sweep_pf_impl(interpret=True)(
+            y=ys, num_particles=n,
+            param_names=["phi", "sigma_x", "sigma_y"], model_fns=None,
+            obs_times=None, algorithm="BPF", resample_algorithm="SISAR",
+            resample_fn="stratified", carry_weights=False,
+        )
+        theta = jnp.array([0.8, 1.0, 0.5], jnp.float32)
+        keys = jax.random.split(jax.random.key(11), c)
+        ll_b, _ = jax.jit(jax.vmap(lambda k: pf(k, theta)))(keys)
+
+        (init_fn, trans_fn, loglik_fn), _, _ = sinusoidal_model()
+        keys2 = jax.random.split(jax.random.key(12), c)
+        ll_c = jax.jit(jax.vmap(
+            lambda k: bootstrap_filter(
+                k, ys, n, init_fn, trans_fn, loglik_fn,
+                theta={"phi": 0.8, "sigma_x": 1.0, "sigma_y": 0.5},
+                return_particles=False,
+            ).loglike
+        ))(keys2)
+        assert bool(jnp.isfinite(ll_b).all())
+        se = 4.0 * float(
+            np.hypot(np.std(np.asarray(ll_b)), np.std(np.asarray(ll_c)))
+        ) / np.sqrt(c)
+        assert abs(float(ll_b.mean() - ll_c.mean())) < max(se, 0.2)
+
+    def test_pmmh_hook(self):
+        from bayesssm_tpu import default_tune_control, pmmh
+        from bayesssm_tpu.models.sinusoidal import sinusoidal_sweep_pf_impl
+
+        ys = self._ys()
+        (init_fn, trans_fn, loglik_fn), log_priors, transform = (
+            sinusoidal_model()
+        )
+        out = pmmh(
+            "bootstrap_filter", np.asarray(ys), 16,
+            init_fn, trans_fn, loglik_fn, log_priors,
+            pilot_init_params=[
+                {"phi": 0.7, "sigma_x": 0.9, "sigma_y": 0.6}
+            ] * 2,
+            burn_in=4, num_chains=2, param_transform=transform, seed=31,
+            tune_control=default_tune_control(
+                pilot_m=16, pilot_burn_in=4, pilot_reps=3
+            ),
+            print_summary=False,
+            pf_impl=sinusoidal_sweep_pf_impl(interpret=True),
+        )
+        for p, chain in out.theta_chain.items():
+            assert chain.shape == (2, 12), (p, chain.shape)
+            assert np.isfinite(chain).all(), p

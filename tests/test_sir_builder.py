@@ -1,0 +1,171 @@
+"""Builder-instance SIR whole sweep (models/sir.py::sir_builder_pf_impl).
+
+The round-5 consolidation target: the SAME fused SIR filter as the
+bespoke kernel (ops/sir_sweep_pallas.py), expressed through the generic
+sweep builder's callbacks — exact Gillespie day via the callback
+while_loop with explicit RNG-counter threading, Poisson weights with a
+precomputed ``lgamma(y+1)`` observation column, packed (S, I)
+selection. Validated distributionally against BOTH the portable engine
+and the bespoke sweep in interpret mode; the benchmark-shape timing
+comparison lives in scripts/bench_sir_builder.py / BENCH_CONFIGS.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesssm_tpu.filters.auxiliary import auxiliary_filter
+from bayesssm_tpu.filters.bootstrap import bootstrap_filter
+from bayesssm_tpu.filters.resample_move import resample_move_filter
+from bayesssm_tpu.models.sir import (
+    simulate_sir,
+    sir_aux_log_likelihood_fn,
+    sir_builder_pf_impl,
+    sir_model,
+    sir_move_fn,
+    sir_sweep_pf_impl,
+)
+
+N_TOTAL, I0 = 500, 70
+LAM, GAM = 0.5, 0.2
+N = 128
+
+
+@pytest.fixture(scope="module")
+def ys():
+    _, y = simulate_sir(1405, N_TOTAL, I0, t_max=8, lam=LAM, gamma=GAM)
+    return jnp.asarray(y, jnp.float32)
+
+
+def _impl_batch(impl_factory, ys, c, key=0, algorithm="BPF",
+                resample_algorithm="SISAR", num_particles=N):
+    pf = impl_factory(
+        y=ys, num_particles=num_particles,
+        param_names=["lam", "gamma"], model_fns=None, obs_times=None,
+        algorithm=algorithm, resample_algorithm=resample_algorithm,
+        resample_fn="stratified", carry_weights=False,
+    )
+    keys = jax.random.split(jax.random.key(key), c)
+    theta = jnp.array([LAM, GAM], jnp.float32)
+    return jax.jit(jax.vmap(lambda k: pf(k, theta)))(keys)
+
+
+def _portable_batch(ys, c, key=1, algorithm="BPF",
+                    resample_algorithm="SISAR"):
+    (init_fn, trans_fn, loglik_fn), _, _ = sir_model(N_TOTAL, I0)
+    theta = {"lam": LAM, "gamma": GAM}
+    keys = jax.random.split(jax.random.key(key), c)
+
+    def one(k):
+        if algorithm == "APF":
+            r = auxiliary_filter(
+                k, ys, N, init_fn, trans_fn, loglik_fn,
+                aux_log_likelihood_fn=sir_aux_log_likelihood_fn,
+                theta=theta, return_particles=False,
+            )
+        elif algorithm == "RMPF":
+            r = resample_move_filter(
+                k, ys, N, init_fn, trans_fn, loglik_fn,
+                move_fn=sir_move_fn(N_TOTAL), theta=theta,
+                return_particles=False,
+            )
+        else:
+            r = bootstrap_filter(
+                k, ys, N, init_fn, trans_fn, loglik_fn, theta=theta,
+                return_particles=False,
+                resample_algorithm=resample_algorithm,
+            )
+        return r.loglike, r.state_est
+
+    return jax.jit(jax.vmap(one))(keys)
+
+
+def _match(ll_s, es_s, ll_c, es_c, c, est_atol=6.0):
+    assert bool(jnp.isfinite(ll_s).all())
+    se_tol = 4.0 * float(
+        np.hypot(np.std(np.asarray(ll_s)), np.std(np.asarray(ll_c)))
+    ) / np.sqrt(c)
+    assert abs(float(ll_s.mean() - ll_c.mean())) < max(se_tol, 0.25)
+    np.testing.assert_allclose(
+        np.asarray(es_s.mean(axis=0)), np.asarray(es_c.mean(axis=0)),
+        atol=est_atol,
+    )
+
+
+@pytest.mark.parametrize("algorithm", ["BPF", "APF", "RMPF"])
+def test_matches_portable(ys, algorithm):
+    c = 128
+    ll_b, es_b = _impl_batch(
+        sir_builder_pf_impl(N_TOTAL, I0, interpret=True), ys, c,
+        key=2, algorithm=algorithm,
+    )
+    ll_c, es_c = _portable_batch(ys, c, key=3, algorithm=algorithm)
+    _match(ll_b, es_b, ll_c, es_c, c)
+
+
+def test_matches_bespoke_sweep(ys):
+    c = 128
+    ll_b, es_b = _impl_batch(
+        sir_builder_pf_impl(N_TOTAL, I0, interpret=True), ys, c, key=4
+    )
+    ll_k, es_k = _impl_batch(
+        sir_sweep_pf_impl(N_TOTAL, I0, interpret=True), ys, c, key=5
+    )
+    _match(ll_b, es_b, ll_k, es_k, c)
+
+
+def test_deterministic_per_key(ys):
+    ll1, es1 = _impl_batch(
+        sir_builder_pf_impl(N_TOTAL, I0, interpret=True), ys, 8, key=6
+    )
+    ll2, es2 = _impl_batch(
+        sir_builder_pf_impl(N_TOTAL, I0, interpret=True), ys, 8, key=6
+    )
+    np.testing.assert_array_equal(np.asarray(ll1), np.asarray(ll2))
+    np.testing.assert_array_equal(np.asarray(es1), np.asarray(es2))
+
+
+class _BigInt(int):
+    """Reports > 4094 to the packing gate while keeping its value for
+    the dynamics — forces the raw two-column selection route."""
+
+    def __le__(self, other):
+        return False
+
+
+def test_unpacked_route_matches(ys):
+    """Packing is purely a selection-throughput optimization: the
+    packed (S, I) route and the raw two-column route must sample the
+    same distribution."""
+    c = 96
+    ll_p, es_p = _impl_batch(
+        sir_builder_pf_impl(N_TOTAL, I0, interpret=True), ys, c, key=7
+    )
+    ll_u, es_u = _impl_batch(
+        sir_builder_pf_impl(_BigInt(N_TOTAL), I0, interpret=True),
+        ys, c, key=8,
+    )
+    _match(ll_p, es_p, ll_u, es_u, c)
+
+
+def test_pmmh_pf_impl_hook(ys):
+    from bayesssm_tpu import default_tune_control, pmmh
+
+    (init_fn, trans_fn, loglik_fn), log_priors, transform = sir_model(
+        N_TOTAL, I0
+    )
+    out = pmmh(
+        "bootstrap_filter", np.asarray(ys), 16,
+        init_fn, trans_fn, loglik_fn, log_priors,
+        pilot_init_params=[{"lam": 0.4, "gamma": 0.25}] * 2,
+        burn_in=4, num_chains=2, param_transform=transform, seed=29,
+        tune_control=default_tune_control(
+            pilot_m=16, pilot_burn_in=4, pilot_reps=3
+        ),
+        print_summary=False,
+        pf_impl=sir_builder_pf_impl(N_TOTAL, I0, interpret=True),
+    )
+    for p, chain in out.theta_chain.items():
+        assert chain.shape == (2, 12), (p, chain.shape)
+        assert np.isfinite(chain).all(), p

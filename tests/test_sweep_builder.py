@@ -179,8 +179,10 @@ def test_validation(ys):
             1, sv_init, sv_trans, sv_lw, 3, resample_fn="multinomial"
         )
     op = build_sweep_op(1, sv_init, sv_trans, sv_lw, 3, interpret=True)
-    with pytest.raises(ValueError, match="multiple of 128"):
+    with pytest.raises(ValueError, match="power of two"):
         op(jax.random.key(0), ys, jnp.zeros(3), 100)
+    with pytest.raises(ValueError, match="power of two"):
+        op(jax.random.key(0), ys, jnp.zeros(3), 384)
 
 
 def test_pmmh_pf_impl_hook(ys):
@@ -220,5 +222,11 @@ def test_pf_impl_validation(ys):
         pf_impl(**{**kw, "algorithm": "APF"})
     with pytest.raises(ValueError, match="built for parameters"):
         pf_impl(**{**kw, "param_names": ["x", "y", "z"]})
-    with pytest.raises(ValueError, match="contiguous"):
+    # obs_times are supported (static gap counts) but still validated
+    # with the portable core's contract.
+    with pytest.raises(ValueError, match="one entry per observation"):
         pf_impl(**{**kw, "obs_times": [1, 3]})
+    with pytest.raises(ValueError, match="strictly increasing"):
+        pf_impl(
+            **{**kw, "obs_times": list(range(len(ys), 0, -1))}
+        )
