@@ -20,6 +20,7 @@ __all__ = [
     "sir_bpf_loglike",
     "sir_apf_loglike",
     "sir_rmpf_loglike",
+    "sinusoidal_bpf_loglike",
 ]
 
 
@@ -197,3 +198,31 @@ def sir_pmmh_steps(
             theta, ll = theta_prop, ll_prop
         chain.append(theta.copy())
     return np.array(chain)
+
+
+def sinusoidal_bpf_loglike(rng, y, n_particles, phi, sigma_x, sigma_y):
+    """One bootstrap-filter sweep of the README sinusoidal AR(1) model
+    (BASELINE.json config 1, /root/reference/README.md:100-150):
+    x_t = phi x_{t-1} + sin(x_{t-1}) + N(0, sigma_x^2),
+    y_t = x_t + N(0, sigma_y^2); fresh-weight SISAR + stratified, same
+    shape as :func:`sir_bpf_loglike`."""
+    x = rng.normal(size=n_particles)
+    loglike = 0.0
+    half_log_2pi = 0.5 * np.log(2.0 * np.pi)
+    for obs in y:
+        x = phi * x + np.sin(x) + sigma_x * rng.normal(size=n_particles)
+        lw = (
+            -0.5 * np.square((obs - x) / sigma_y)
+            - np.log(sigma_y) - half_log_2pi
+        )
+        mx = lw.max()
+        if mx < -1e8:
+            return -np.inf
+        w = np.exp(lw - mx)
+        tot = w.sum()
+        weights = w / tot
+        loglike += mx + np.log(tot) - np.log(n_particles)
+        ess = 1.0 / np.square(weights).sum()
+        if ess < n_particles / 2:
+            x = x[_stratified_idx(rng, weights)]
+    return loglike

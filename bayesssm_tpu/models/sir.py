@@ -193,82 +193,6 @@ def sir_model(
     return (init_fn, transition_fn, log_likelihood_fn), log_priors, param_transform
 
 
-def sir_sweep_pf_impl(
-    n_total: int = 500,
-    init_infected: int = 70,
-    unroll: int = 8,
-    move_step_max: int = 2,
-    interpret: bool = False,
-):
-    """PMMH ``pf_impl`` factory routing the SIR filter through the fused
-    whole-sweep Pallas kernel (ops/sir_sweep_pallas.py).
-
-    Usage: ``pmmh(..., pf_impl=sir_sweep_pf_impl(500, 70))``. Shares
-    ``pmmh.tuning._make_pf_loglike``'s signature so the driver can swap it
-    in for BOTH the pilot-tuning and sampling phases — the TPU-native
-    analogue of the reference's Rcpp escape hatch
-    (/root/reference/vignettes/articles/detailed-overview.Rmd:401-470).
-    Supports BPF, APF (lookahead = ``sir_aux_log_likelihood_fn``) and RMPF
-    (move = ``sir_move_fn(n_total, move_step_max)``) with fresh-weight
-    SISR/SISAR on contiguous observation times; anything else raises so
-    misuse cannot silently change the sampled distribution.
-    """
-    from bayesssm_tpu.ops.sir_sweep_pallas import sir_filter_sweep
-
-    def factory(
-        y,
-        num_particles,
-        param_names,
-        model_fns,
-        obs_times,
-        algorithm,
-        resample_algorithm,
-        resample_fn,
-        carry_weights,
-        max_particles=None,
-    ):
-        del model_fns  # the kernel IS the model
-        if algorithm not in ("BPF", "APF", "RMPF"):
-            raise ValueError(
-                "sir_sweep_pf_impl supports BPF, APF or RMPF only"
-            )
-        if obs_times is not None:
-            raise ValueError(
-                "sir_sweep_pf_impl supports contiguous obs_times only"
-            )
-        if carry_weights:
-            raise ValueError(
-                "sir_sweep_pf_impl implements the reference fresh-weight "
-                "semantics (carry_weights=False)"
-            )
-        if set(param_names) != {"lam", "gamma"}:
-            raise ValueError(
-                "sir_sweep_pf_impl expects parameters {'lam', 'gamma'}"
-            )
-        j_lam = param_names.index("lam")
-        j_gam = param_names.index("gamma")
-        ys = jnp.asarray(y, jnp.float32)
-
-        def pf(key, theta_vec, n=num_particles):
-            return sir_filter_sweep(
-                key, ys, n, theta_vec[j_lam], theta_vec[j_gam],
-                n_total, init_infected,
-                algorithm=algorithm,
-                max_particles=max_particles
-                if max_particles is not None
-                else n,
-                resample_fn=resample_fn,
-                resample_algorithm=resample_algorithm,
-                unroll=unroll,
-                move_step_max=move_step_max,
-                interpret=interpret,
-            )
-
-        return pf
-
-    return factory
-
-
 def sir_builder_pf_impl(
     n_total: int = 500,
     init_infected: int = 70,
@@ -276,146 +200,47 @@ def sir_builder_pf_impl(
     move_step_max: int = 2,
     interpret: bool = False,
 ):
-    """SIR whole-sweep ``pf_impl`` as a sweep-BUILDER instance.
+    """PMMH ``pf_impl`` factory routing the SIR filter through the fused
+    whole-sweep path — a sweep-builder instance over
+    ``ops/sir_sweep_pallas.py::sir_sweep_parts`` (exact Gillespie day in
+    a callback while_loop, Poisson weights with a precomputed
+    ``lgamma(y+1)`` observation column, packed (S, I) selection, APF
+    lookahead, RMPF move).
 
-    The same fused filter as :func:`sir_sweep_pf_impl` (exact Gillespie
-    day in an in-kernel event ``while_loop``, Poisson weights with
-    host-precomputed ``lgamma(y + 1)`` as a second observation column,
-    packed (S, I) selection, APF lookahead, RMPF move) expressed through
-    ``ops/sweep_builder.py``'s three-callback contract instead of a
-    bespoke kernel — so every scaffold improvement (selection, masking,
-    RNG, obs_times gaps) lands in one place. Sampling distribution
-    matches the portable filters over ``sir_model(...)``; bit-streams
-    differ (counter scheduling is the builder's), so parity is
-    distributional like every RNG-bearing fast path.
-
-    The (S, I) pair rides the merge network packed into ONE f32 lane
-    (``v = S*4096 + I``, exact for ``n_total <= 4094`` — both counts are
-    integers < 2^12 and 4096 is a power of two, so pack/unpack are exact
-    in f32); for larger populations the raw two-column route is used.
+    Usage: ``pmmh(..., pf_impl=sir_builder_pf_impl(500, 70))``. Shares
+    ``pmmh.tuning._make_pf_loglike``'s signature so the driver can swap
+    it in for BOTH the pilot-tuning and sampling phases — the TPU-native
+    analogue of the reference's Rcpp escape hatch
+    (/root/reference/vignettes/articles/detailed-overview.Rmd:401-470).
+    Supports BPF, APF, RMPF with fresh-weight SISR/SISAR,
+    stratified/systematic resampling, and irregular ``obs_times``
+    (the builder's static gap loop); anything else raises so misuse
+    cannot silently change the sampled distribution.
     """
-    from bayesssm_tpu.ops.gillespie_pallas import MAX_EVENTS as _MAXEV
+    from bayesssm_tpu.ops.sir_sweep_pallas import sir_sweep_parts
     from bayesssm_tpu.ops.sweep_builder import build_sweep_pf_impl
 
-    nt = float(n_total)
-    s0 = float(n_total - init_infected)
-    i0 = float(init_infected)
-    neg = np.float32(-1e30)
-
-    def init_fn(rng, theta):
-        like = theta[0]
-        return (
-            jnp.full_like(like, np.float32(s0)),
-            jnp.full_like(like, np.float32(i0)),
-        )
-
-    def transition_fn(rng, cols, theta, t):
-        """One exact Gillespie day (in-callback event while_loop with
-        explicit counter threading — see SweepRng docstring)."""
-        s, i = cols
-        lam, gam = theta
-        lam_n = lam * np.float32(1.0 / nt)
-        tloc = jnp.zeros_like(s)
-        active = (i > 0.0).astype(jnp.float32)
-
-        def cond(carry):
-            _, _, _, act, steps, _ = carry
-            return jnp.logical_and(jnp.max(act) > 0.0, steps < _MAXEV)
-
-        def body(carry):
-            s, i, tloc, active, steps, ctr = carry
-            u, ctr = rng.raw_uniform_blocks(2 * unroll, ctr)
-            for e in range(unroll):
-                # One division per event; dead lanes' inf/NaN are gated
-                # behind `fire` (ops/sir_sweep_pallas.py:254-292 keeps
-                # the full argument).
-                rate_inf = lam_n * s * i
-                rate_tot = rate_inf + gam * i
-                dt = -jnp.log1p(-u[2 * e]) * (1.0 / rate_tot)
-                t_new = tloc + dt
-                fire = jnp.logical_and(active > 0.0, t_new <= 1.0)
-                infect = u[2 * e + 1] * rate_tot < rate_inf
-                s = jnp.where(jnp.logical_and(fire, infect), s - 1.0, s)
-                i = jnp.where(
-                    fire, jnp.where(infect, i + 1.0, i - 1.0), i
-                )
-                tloc = jnp.where(fire, t_new, tloc)
-                active = jnp.logical_and(fire, i > 0.0).astype(
-                    jnp.float32
-                )
-            return s, i, tloc, active, steps + unroll, ctr
-
-        s, i, _, _, _, ctr_out = jax.lax.while_loop(
-            cond, body,
-            (s, i, tloc, active, jnp.zeros((), jnp.int32), rng.counter()),
-        )
-        rng.set_counter(ctr_out)
-        return (s, i)
-
-    def _pois_lw(i, y_v, lgy):
-        safe_i = jnp.where(i > 0.0, i, 1.0)
-        lw = y_v * jnp.log(safe_i) - i - lgy
-        return jnp.where(
-            i > 0.0, lw, jnp.where(y_v == 0.0, 0.0, neg)
-        )
-
-    def log_weight_fn(cols, theta, y_t):
-        y_v, lgy = y_t
-        return _pois_lw(cols[1], y_v, lgy)
-
-    def aux_log_weight_fn(cols, theta, y_t):
-        y_v, lgy = y_t
-        return _pois_lw(cols[1], y_v, lgy)
-
-    def move_fn(rng, cols, theta, y_t):
-        y_v, lgy = y_t
-        s, i = cols
-        u = rng.uniforms(2)
-        u0, u1 = u[0], u[1]
-        span = np.float32(2 * move_step_max + 1)
-        step = jnp.floor(u0 * span) - np.float32(move_step_max)
-        i_prop = i + step
-        in_support = jnp.logical_and(
-            i_prop >= 0.0, i_prop <= np.float32(nt) - s
-        )
-        log_ratio = _pois_lw(
-            jnp.maximum(i_prop, 0.0), y_v, lgy
-        ) - _pois_lw(i, y_v, lgy)
-        accept = jnp.logical_and(in_support, jnp.log(u1) < log_ratio)
-        return (s, jnp.where(accept, i_prop, i))
-
-    if n_total <= 4094:
-        pack = np.float32(4096.0)
-
-        def pack_fn(cols):
-            return (cols[0] * pack + cols[1],)
-
-        def unpack_fn(packed):
-            v = packed[0]
-            s = jnp.floor(v * np.float32(1.0 / 4096.0))
-            return (s, v - s * pack)
-
-        pack_kw = dict(
-            pack_fn=pack_fn, unpack_fn=unpack_fn, num_packed_cols=1
-        )
-    else:
-        pack_kw = {}
-
-    def obs_transform(ys):
-        from jax.scipy.special import gammaln
-
-        ys = ys.reshape(-1)
-        return jnp.stack([ys, gammaln(ys + 1.0)], axis=1)
-
+    parts = sir_sweep_parts(
+        n_total, init_infected, unroll=unroll,
+        move_step_max=move_step_max,
+    )
     return build_sweep_pf_impl(
-        2, init_fn, transition_fn, log_weight_fn, ("lam", "gamma"),
-        aux_log_weight_fn=aux_log_weight_fn,
-        move_fn=move_fn,
+        2, parts["init_fn"], parts["transition_fn"],
+        parts["log_weight_fn"], ("lam", "gamma"),
+        aux_log_weight_fn=parts["aux_log_weight_fn"],
+        move_fn=parts["move_fn"],
         interpret=interpret,
         num_obs_cols=2,
-        obs_transform=obs_transform,
-        **pack_kw,
+        obs_transform=parts["obs_transform"],
+        **parts["pack_kw"],
     )
+
+
+# The bespoke whole-sweep kernel this factory originally wrapped was
+# consolidated onto the sweep builder in round 5 at measured parity
+# (ops/sir_sweep_pallas.py module docstring); both names now build the
+# same builder-backed pf_impl.
+sir_sweep_pf_impl = sir_builder_pf_impl
 
 
 def sir_aux_log_likelihood_fn(y, particles):

@@ -55,11 +55,18 @@ import jax
 import jax.numpy as jnp
 
 from bayesssm_tpu.ops.gillespie_pallas import _hash32
-from bayesssm_tpu.ops.sir_sweep_pallas import _MERGE_BLOCK_CAP
 
 __all__ = ["build_sweep_pf_impl", "build_sweep_op", "SweepRng"]
 
 _SELECTION_VMEM_BUDGET = 8 * 1024 * 1024
+# Chain-block cap for the merge-selection sweeps. Without a [B, N, N]
+# intermediate the VMEM budget admits large chain blocks; the round-4
+# sweep over caps {64, 128, 256, 512} x unroll {8, 16} on the SIR
+# whole-sweep measured 399.5k / 451.6k / 474.2k / VMEM-OOM samples/s at
+# the bench shape — fewer, larger programs win (per-program launch
+# overhead dominates the wider block-max event tail). 256 is the
+# measured best that compiles.
+_MERGE_BLOCK_CAP = 256
 
 
 class SweepRng:
@@ -721,6 +728,13 @@ def build_sweep_pf_impl(
         max_particles=None,
     ):
         del model_fns
+        if algorithm not in ("BPF", "APF", "RMPF"):
+            # SIS (never-resample) has no fused sweep: the builder's day
+            # always runs the adaptive/forced resample stage, so an
+            # unknown algorithm must not silently sample as BPF.
+            raise ValueError(
+                "the sweep builder supports BPF, APF or RMPF only"
+            )
         if algorithm == "APF" and aux_log_weight_fn is None:
             raise ValueError(
                 "APF requires the builder's aux_log_weight_fn"

@@ -193,7 +193,11 @@ def pmmh(
     ``checkpoint_every``/``checkpoint_path`` periodically snapshot sampler
     state (utils/checkpoint.py); ``resume=True`` continues from an existing
     snapshot at ``checkpoint_path`` (tuning is skipped — the tuned proposal
-    and particle counts are restored from the snapshot).
+    and particle counts are restored from the snapshot). On a
+    process-spanning mesh each process allgathers the chain-sharded carry
+    and writes an identical full snapshot, so a preempted multi-host run
+    resumes from any surviving host and bit-matches an uninterrupted run
+    with the same chunking (tests/test_distributed.py).
 
     ``progress_every`` sets the sampling chunk length for live progress
     reporting: after each chunk the driver prints step count and
@@ -310,11 +314,6 @@ def pmmh(
             raise ValueError(
                 "pf_impl evaluators are single-shard; use a mesh whose "
                 f"'{particle_axis}' axis has size 1"
-            )
-        if multiprocess and checkpoint_path is not None:
-            raise ValueError(
-                "checkpointing is not supported on a process-spanning "
-                "mesh; run checkpointed sampling single-process"
             )
 
     # Phases run inside shard_map when (a) the particle axis is sharded
@@ -515,7 +514,13 @@ def pmmh(
     from functools import lru_cache
 
     @lru_cache(maxsize=None)
-    def chunk_fn(length: int):
+    def chunk_fn(length: int, emit: bool = True):
+        """``emit=False`` compiles a burn-in variant whose scan carries
+        only (keys, theta, ll, se) and outputs per-step ACCEPTS alone —
+        no per-step theta/state-estimate HBM writes for samples the
+        burn-in would discard anyway (round-3 attribution: the scan
+        output writes cost ~0.4 ms/step at the benchmark shape)."""
+
         def chunk(keys, thetas, lls, ses, factors, n_chains):
             def one(key, theta, ll, se, factor, n_chain):
                 def step(carry, _):
@@ -523,6 +528,8 @@ def pmmh(
                     key, theta, ll, se, accept = mh_step(
                         key, theta, ll, se, factor, n_chain
                     )
+                    if not emit:
+                        return (key, theta, ll, se), (accept,)
                     out = (theta, se) if return_latent_state_est else (theta,)
                     return (key, theta, ll, se), out + (accept,)
 
@@ -585,12 +592,34 @@ def pmmh(
     # part of the bit-reproducibility contract (see docstring); this
     # default is fixed per version.
     fast_path = checkpoint_path is None and progress_every is None
+    # The chunk schedule is a list of (length, emit) pairs. On the fast
+    # path the FIRST chunk is aligned to the burn-in boundary and
+    # compiled WITHOUT theta/state-estimate scan outputs (emit=False —
+    # burned samples never existed, so their per-step HBM writes are
+    # elided, ~0.4 ms/step at the benchmark shape per round-3
+    # attribution); the post-burn-in remainder runs in 256-step emitting
+    # chunks (halving chunk-boundary dispatch vs the round-4 128
+    # default). Chunk layout remains part of the bit-reproducibility
+    # contract (docstring) and this schedule is fixed per version.
+    schedule = []
+    s = steps_done
     if fast_path:
-        chunk_size = min(128, m - steps_done) or 1
+        burned = max(0, min(burn_in - s, m - s))
+        if burned > 0:
+            schedule.append((burned, False))
+            s += burned
+        while s < m:
+            ln = min(256, m - s)
+            schedule.append((ln, True))
+            s += ln
     else:
         chunk_size = (
             checkpoint_every or progress_every or (m - steps_done) or 1
         )
+        while s < m:
+            ln = min(chunk_size, m - s)
+            schedule.append((ln, True))
+            s += ln
 
     def _async_to_host(tree):
         for leaf in jax.tree_util.tree_leaves(tree):
@@ -609,29 +638,35 @@ def pmmh(
     chunk_args = (cur_keys, cur_theta, cur_ll, cur_se, factors, n_chain_arr)
     compiled_chunks = {}
     with timer.phase("compile"):
-        s = steps_done
-        while s < m:
-            length = min(chunk_size, m - s)
-            if length not in compiled_chunks:
-                compiled_chunks[length] = (
-                    chunk_fn(length).lower(*chunk_args).compile()
+        for length, emit in schedule:
+            if (length, emit) not in compiled_chunks:
+                compiled_chunks[(length, emit)] = (
+                    chunk_fn(length, emit).lower(*chunk_args).compile()
                 )
-            s += length
 
     pending_accepts = []
     sampling_timer = timer.phase("sampling")
     sampling_timer.__enter__()
-    while steps_done < m:
-        length = min(chunk_size, m - steps_done)
+    for length, emit in schedule:
         (cur_keys, cur_theta, cur_ll, cur_se), outs = compiled_chunks[
-            length
+            (length, emit)
         ](cur_keys, cur_theta, cur_ll, cur_se, factors, n_chain_arr)
-        if return_latent_state_est:
+        if not emit:
+            (accepts,) = outs
+            thetas = None
+            ses = None
+        elif return_latent_state_est:
             thetas, ses, accepts = outs
         else:
             thetas, accepts = outs
             ses = None
         steps_done += length
+        if not emit:
+            # Burn-in chunk: only the acceptance counts leave the device.
+            accepts = jnp.sum(accepts, axis=1)
+            _async_to_host(accepts)
+            pending_accepts.append(accepts)
+            continue
         if fast_path:
             # Only the post-burn-in slice ever reaches the host output
             # (checkpointing is off, so nothing needs the burned prefix);
@@ -668,12 +703,22 @@ def pmmh(
         if checkpoint_path is not None:
             from bayesssm_tpu.utils.checkpoint import save_checkpoint
 
+            # Snapshot the GLOBAL sampler state on the host: on a
+            # process-spanning mesh the live carry is chain-sharded and
+            # not fully addressable by any single process, so each
+            # process allgathers it (via _fetch) and writes an identical
+            # full snapshot — any surviving host can then resume, and
+            # the resumed inputs re-shard through the jitted phases'
+            # in_shardings exactly like the initial host inputs.
+            keys_host = jax.random.wrap_key_data(
+                _fetch(jax.random.key_data(cur_keys))
+            )
             save_checkpoint(
                 checkpoint_path,
-                keys=cur_keys,
-                theta=cur_theta,
-                loglike=cur_ll,
-                state_est=cur_se,
+                keys=keys_host,
+                theta=_fetch(cur_theta),
+                loglike=_fetch(cur_ll),
+                state_est=_fetch(cur_se),
                 samples=np.concatenate(theta_samples, axis=1),
                 state_samples=(
                     np.concatenate(state_samples, axis=1)

@@ -30,7 +30,16 @@ def save_checkpoint(path, *, keys, theta, loglike, state_est, samples,
     """
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_suffix(path.suffix + ".tmp")
+    # Per-process tmp name: on a multi-controller (process-spanning) run
+    # every process writes the SAME full snapshot (the driver allgathers
+    # state to the host first) — distinct tmp files keep concurrent
+    # writers off each other's partial files on a shared filesystem, and
+    # the atomic renames are idempotent (identical content, last wins);
+    # on separate per-host filesystems each host simply keeps its own
+    # copy so any surviving host can resume.
+    tmp = path.with_suffix(
+        path.suffix + f".tmp{jax.process_index()}"
+    )
     payload = {
         "format_version": np.asarray(_FORMAT_VERSION),
         "key_data": np.asarray(jax.random.key_data(keys)),

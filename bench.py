@@ -37,7 +37,14 @@ import time
 
 import numpy as np
 
-CONFIGS = ("bpf", "apf", "rmpf", "pmmh")
+CONFIGS = ("bpf", "apf", "rmpf", "pmmh", "sinusoidal")
+
+# Per-config MH-harness parameters: generating theta (timed at truth for
+# run-to-run stability) and log-space proposal sd. SIR configs sample
+# (lam, gamma); "sinusoidal" samples (phi, sigma_x, sigma_y) of the
+# README model (BASELINE.json config 1).
+_THETA0 = {"sinusoidal": (0.8, 1.0, 0.5)}
+_PROP_SD = {"sinusoidal": (0.05, 0.1, 0.1)}
 
 
 def _build_pf_loglike(config, ys, particles, transition):
@@ -52,6 +59,30 @@ def _build_pf_loglike(config, ys, particles, transition):
         sir_model,
         sir_move_fn,
     )
+
+    if config == "sinusoidal":
+        # README model through its whole-sweep builder instance
+        # (models/sinusoidal.py); log_priors order (phi, sigma_x,
+        # sigma_y) matches _THETA0.
+        from bayesssm_tpu.models.sinusoidal import (
+            sinusoidal_model,
+            sinusoidal_sweep_pf_impl,
+        )
+
+        _, log_priors, _ = sinusoidal_model()
+        prior_fns = [log_priors[p] for p in log_priors]
+        pf = sinusoidal_sweep_pf_impl()(
+            y=jnp.asarray(ys, jnp.float32), num_particles=particles,
+            param_names=["phi", "sigma_x", "sigma_y"], model_fns=None,
+            obs_times=None, algorithm="BPF", resample_algorithm="SISAR",
+            resample_fn="stratified", carry_weights=False,
+        )
+
+        def pf_loglike(key, theta_vec):
+            ll, _ = pf(key, theta_vec)
+            return ll
+
+        return pf_loglike, prior_fns
 
     # The whole-sweep fused kernel serves every filter variant: BPF, the
     # APF's Q2 double-transition + aux-resample stage, and the RMPF's
@@ -120,7 +151,9 @@ def tpu_samples_per_sec(
     pf_loglike, prior_fns = _build_pf_loglike(
         config, y, particles, transition
     )
-    prop_sd = jnp.array([0.1, 0.1], dtype=jnp.float32)
+    prop_sd = jnp.array(
+        _PROP_SD.get(config, (0.1, 0.1)), dtype=jnp.float32
+    )
 
     def mh_step(carry, _):
         key, theta, ll = carry
@@ -149,7 +182,10 @@ def tpu_samples_per_sec(
         return jax.vmap(one)(keys, thetas, lls)
 
     keys = jax.random.split(jax.random.key(0), chains)
-    thetas = jnp.tile(jnp.array([0.5, 0.2], jnp.float32), (chains, 1))
+    thetas = jnp.tile(
+        jnp.array(_THETA0.get(config, (0.5, 0.2)), jnp.float32),
+        (chains, 1),
+    )
     ll0 = jax.vmap(pf_loglike)(
         jax.random.split(jax.random.key(1), chains),
         thetas,
@@ -265,6 +301,7 @@ def baseline_samples_per_sec(y, particles, steps, reps, config="bpf"):
     import numpy as np
 
     from single_core_numpy import (
+        sinusoidal_bpf_loglike,
         sir_apf_loglike,
         sir_bpf_loglike,
         sir_rmpf_loglike,
@@ -275,15 +312,19 @@ def baseline_samples_per_sec(y, particles, steps, reps, config="bpf"):
         "pmmh": sir_bpf_loglike,
         "apf": sir_apf_loglike,
         "rmpf": sir_rmpf_loglike,
+        "sinusoidal": sinusoidal_bpf_loglike,
     }[config]
+    theta = (
+        (0.8, 1.0, 0.5) if config == "sinusoidal" else (0.5, 0.2, 500, 70)
+    )
     rng = np.random.default_rng(0)
     # warmup sweep
-    fn(rng, y, particles, 0.5, 0.2, 500, 70)
+    fn(rng, y, particles, *theta)
     rates = []
     for _ in range(reps):
         t0 = time.time()
         for _ in range(steps):
-            fn(rng, y, particles, 0.5, 0.2, 500, 70)
+            fn(rng, y, particles, *theta)
         rates.append(steps / (time.time() - t0))
     return float(np.median(rates))
 
@@ -340,9 +381,15 @@ def main():
 
     _enable_compile_cache()
 
-    from bayesssm_tpu.models.sir import simulate_sir
+    if args.config == "sinusoidal":
+        # BASELINE.json config 1: README sinusoidal AR(1), T = 20.
+        from bayesssm_tpu.models.sinusoidal import simulate_sinusoidal
 
-    _, y = simulate_sir(seed=1405)
+        _, y = simulate_sinusoidal(seed=1405, t_val=20)
+    else:
+        from bayesssm_tpu.models.sir import simulate_sir
+
+        _, y = simulate_sir(seed=1405)
 
     if args.profile:
         import jax
@@ -353,7 +400,8 @@ def main():
 
         profile_ctx = contextlib.nullcontext()
 
-    metric = f"pmmh_samples_per_sec_{args.chains}chains_sir"
+    model_tag = "sinusoidal" if args.config == "sinusoidal" else "sir"
+    metric = f"pmmh_samples_per_sec_{args.chains}chains_{model_tag}"
     if args.config == "pmmh":
         with profile_ctx:
             value, timings, target_n = pmmh_e2e_samples_per_sec(
@@ -376,7 +424,7 @@ def main():
             f"reps (samples/s): {[round(r) for r in rates]}",
             file=sys.stderr,
         )
-        if args.config != "bpf":
+        if args.config not in ("bpf", "sinusoidal"):
             metric += f"_{args.config}"
 
     base = baseline_samples_per_sec(

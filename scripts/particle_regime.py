@@ -41,12 +41,14 @@ def build_pf(path, ys, particles):
 
     ys = jnp.asarray(ys, jnp.float32)
     if path in ("sweep", "sweep-merge"):
-        sel = "merge" if path == "sweep-merge" else "quadratic"
+        # Both names run merge selection since round 5: the whole-sweep
+        # path is builder-backed and merge-only (the quadratic in-sweep
+        # selection was retired with the bespoke kernel).
 
         def pf(key, theta_vec):
             ll, _ = sir_filter_sweep(
                 key, ys, particles, theta_vec[0], theta_vec[1], 500, 70,
-                selection=sel,
+                selection="merge",
             )
             return ll
 

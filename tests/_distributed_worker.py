@@ -129,6 +129,37 @@ def main():
         flush=True,
     )
 
+    # ---- multi-process checkpoint/resume (SURVEY §5 checkpoint row) ----
+    # A preempted multi-host run must resume and bit-match an
+    # uninterrupted run with the same chunking: run 6 of 12 steps with a
+    # checkpoint (the simulated preemption point), resume to 12, and
+    # compare against a straight-through 12-step run chunked identically.
+    # Every process writes/reads the same full snapshot (identical
+    # content; per-process tmp names make the shared-FS renames safe).
+    import os
+
+    ck_dir = os.environ.get("BSSM_CK_DIR")
+    if ck_dir:
+        from _pmmh_dist_config import run_pmmh_ck
+
+        ck_a = os.path.join(ck_dir, "dist_interrupted.npz")
+        ck_b = os.path.join(ck_dir, "dist_plain.npz")
+        run_pmmh_ck(
+            pmmh_mesh, m=6, checkpoint_every=6, checkpoint_path=ck_a
+        )
+        resumed = run_pmmh_ck(
+            pmmh_mesh, m=12, checkpoint_path=ck_a, resume=True,
+            checkpoint_every=6,
+        )
+        plain = run_pmmh_ck(
+            pmmh_mesh, m=12, checkpoint_every=6, checkpoint_path=ck_b
+        )
+        for p in plain.theta_chain:
+            np.testing.assert_array_equal(
+                plain.theta_chain[p], resumed.theta_chain[p]
+            )
+        print("PMMH CK-RESUME BIT-MATCH OK", flush=True)
+
     jax.distributed.shutdown()
     print(f"WORKER {pid} OK", flush=True)
 

@@ -28,11 +28,15 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_distributed_smoke():
+def test_two_process_distributed_smoke(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = str(_REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    # Shared checkpoint dir: both processes write/rename the same
+    # snapshot paths (the shared-filesystem multi-writer case) and the
+    # worker asserts kill-at-step-6 -> resume bit-matches uninterrupted.
+    env["BSSM_CK_DIR"] = str(tmp_path)
     # The coordinator service and per-process backends are isolated from
     # the parent's (this pytest process never initializes distributed).
     procs = [
@@ -47,7 +51,7 @@ def test_two_process_distributed_smoke():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -56,6 +60,7 @@ def test_two_process_distributed_smoke():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"WORKER {pid} OK" in out, out
+        assert "PMMH CK-RESUME BIT-MATCH OK" in out, out
 
     # Full-run cross-process contract (test-pmmh.R:468-503 lift): every
     # process gathers the identical full chain array — for the plain

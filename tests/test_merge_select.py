@@ -213,7 +213,7 @@ class TestNonPowerOfTwo:
     def test_sir_sweep_explicit_merge_rejected(self):
         from bayesssm_tpu.ops.sir_sweep_pallas import sir_filter_sweep
 
-        with pytest.raises(ValueError, match="power-of-two"):
+        with pytest.raises(ValueError, match="power.of.two"):
             sir_filter_sweep(
                 jax.random.key(0), np.array([3.0, 2.0], np.float32),
                 self.N, 0.5, 0.2, 100.0, 2.0,

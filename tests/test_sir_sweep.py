@@ -225,11 +225,18 @@ def test_degenerate_observation_gives_neg_inf(ys):
 
 
 def test_resample_variants_run(ys):
-    for method in ("systematic", "multinomial"):
-        ll, _ = _sweep_batch(ys, 8, key=9, resample_fn=method)
-        assert bool(jnp.isfinite(ll).all())
+    ll, _ = _sweep_batch(ys, 8, key=9, resample_fn="systematic")
+    assert bool(jnp.isfinite(ll).all())
     ll, _ = _sweep_batch(ys, 8, key=9, resample_algorithm="SISR")
     assert bool(jnp.isfinite(ll).all())
+    # Multinomial has no sorted positions, hence no merge selection, and
+    # the whole-sweep path is merge-only since round 5 — it raises and
+    # points to the fused per-day path instead of silently degrading.
+    with pytest.raises(ValueError, match="per-day"):
+        sir_filter_sweep(
+            jax.random.key(0), ys, N, LAM, GAM, N_TOTAL, I0,
+            resample_fn="multinomial", interpret=True,
+        )
 
 
 def test_pmmh_pf_impl_hook(ys):
@@ -271,7 +278,9 @@ def test_pf_impl_factory_validation(ys):
     factory(**{**kw, "algorithm": "RMPF"})
     with pytest.raises(ValueError, match="BPF, APF or RMPF"):
         factory(**{**kw, "algorithm": "SIS"})
-    with pytest.raises(ValueError, match="contiguous"):
+    # obs_times are supported since round 5 (builder gap loop), with the
+    # portable core's validation contract.
+    with pytest.raises(ValueError, match="one entry per observation"):
         factory(**{**kw, "obs_times": [1, 3]})
     with pytest.raises(ValueError, match="fresh-weight"):
         factory(**{**kw, "carry_weights": True})
@@ -283,15 +292,28 @@ def test_validation_errors(ys):
     with pytest.raises(ValueError, match="SISR or SISAR"):
         sir_bpf_sweep(jax.random.key(0), ys, N, LAM, GAM, N_TOTAL, I0,
                       resample_algorithm="SIS", interpret=True)
-    with pytest.raises(ValueError, match="multiple of 128"):
+    with pytest.raises(ValueError, match="power of two"):
         sir_bpf_sweep(jax.random.key(0), ys, 100, LAM, GAM, N_TOTAL, I0,
                       interpret=True)
-    with pytest.raises(ValueError, match="n_total"):
-        sir_bpf_sweep(jax.random.key(0), ys, N, LAM, GAM, 5000, I0,
+    with pytest.raises(ValueError, match="power of two"):
+        sir_bpf_sweep(jax.random.key(0), ys, 384, LAM, GAM, N_TOTAL, I0,
                       interpret=True)
     with pytest.raises(ValueError, match="resample_fn"):
         sir_bpf_sweep(jax.random.key(0), ys, N, LAM, GAM, N_TOTAL, I0,
                       resample_fn="bogus", interpret=True)
+
+
+def test_large_population_unpacked_route(ys):
+    """n_total above the (S, I) packing bound (4094) routes raw
+    two-column selection instead of raising (a round-5 capability the
+    bespoke kernel rejected)."""
+    keys = jax.random.split(jax.random.key(41), 4)
+    ll, _ = jax.jit(jax.vmap(
+        lambda k: sir_filter_sweep(
+            k, ys, N, LAM, GAM, 5000, I0, interpret=True
+        )
+    ))(keys)
+    assert bool(jnp.isfinite(ll).all())
 
 
 def test_pmmh_pf_impl_with_chain_mesh(ys):

@@ -193,46 +193,43 @@ def test_whole_sweep_kernel_on_device():
 
 
 def test_merge_selection_bit_identical_on_device():
-    """selection='merge' vs 'quadratic' on hardware: at N = 128 both
-    modes run the same chain blocking (B = 128), hence identical
-    in-kernel PRNG streams — the selections are exact algorithms for the
-    same lookup, so the outputs must be BIT-identical. Catches any
-    Mosaic lowering divergence in the merge network (rolls, bitcasts,
-    int-key compares) that interpret mode cannot see."""
-    from bayesssm_tpu.models.sir import simulate_sir
-    from bayesssm_tpu.ops.sir_sweep_pallas import (
-        _chains_per_program,
-        sir_filter_sweep,
-    )
+    """selection='merge' vs 'quadratic' on hardware through the per-day
+    fused kernel with HOST-drawn positions: identical inputs, and the
+    selections are exact algorithms for the same inverse-CDF lookup, so
+    the outputs must be BIT-identical. Catches any Mosaic lowering
+    divergence in the merge network (rolls, bitcasts, int-key compares)
+    that interpret mode cannot see. (The whole-sweep comparison this
+    test originally ran died with the bespoke SIR kernel — the sweep
+    path is merge-only since round 5.)"""
+    from bayesssm_tpu.ops.resampling import _positions
+    from bayesssm_tpu.ops.resampling_pallas import fused_weight_resample
 
-    import bayesssm_tpu.ops.sir_sweep_pallas as sw
+    n = 128
+    rng = np.random.default_rng(3)
 
-    _, y = simulate_sir(seed=1405)
-    ys = jnp.asarray(y, jnp.float32)
-    keys = jax.random.split(jax.random.key(3), 256)
-    # Equal blocking is the precondition for identical PRNG streams; the
-    # merge default block cap (256) is larger than the quadratic path's
-    # N=128 blocking, so pin it for this comparison.
-    cap = sw._MERGE_BLOCK_CAP
-    sw._MERGE_BLOCK_CAP = 128
-    sw._make_op.cache_clear()
-    try:
-        assert _chains_per_program(256, 128, "quadratic") == \
-            sw._chains_per_program(256, 128, "merge")
+    def one_case(seed):
+        key = jax.random.key(seed)
+        lw = jnp.asarray(
+            rng.normal(size=n) * 3.0, jnp.float32
+        )
+        pts = jnp.asarray(
+            rng.normal(size=(n, 2)).astype(np.float32)
+        )
+        pos = _positions(
+            key, "stratified", (), n, jnp.float32(n), jnp.float32
+        )
+        uw = jnp.full((n,), np.float32(1.0 / n))
         outs = {}
         for sel in ("quadratic", "merge"):
-            fn = jax.jit(jax.vmap(
-                lambda k, sel=sel: sir_filter_sweep(
-                    k, ys, 128, 0.5, 0.2, 500, 70, selection=sel
-                )
-            ))
-            ll, se = fn(keys)
-            outs[sel] = (np.asarray(ll), np.asarray(se))
-    finally:
-        sw._MERGE_BLOCK_CAP = cap
-        sw._make_op.cache_clear()
-    np.testing.assert_array_equal(outs["quadratic"][0], outs["merge"][0])
-    np.testing.assert_array_equal(outs["quadratic"][1], outs["merge"][1])
+            outs[sel] = fused_weight_resample(
+                lw, pts, pos, uw, jnp.float32(0.0),
+                always_resample=True, selection=sel,
+            )
+        for a, b in zip(outs["quadratic"], outs["merge"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    for seed in range(5):
+        one_case(seed)
 
 
 def test_merge_selection_large_n_on_device():
@@ -319,3 +316,74 @@ def test_sweep_builder_on_device():
     )
     se = np.hypot(ll.std(), llp.std()) / np.sqrt(C)
     assert abs(ll.mean() - llp.mean()) < 4 * se + 0.05
+
+
+def test_mv_gapped_sweep_kalman_anchor_on_device():
+    """Round-5 builder extensions on hardware: multivariate observation
+    rows (SMEM scalar reads of y[t, :]) AND the in-kernel obs_times
+    gap-propagation loop, anchored against an exact gap-aware
+    multivariate Kalman recursion — certifies the new kernel codepaths
+    (flat y SMEM layout, per-day inner fori_loop over the transition)
+    beyond the interpreter."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_lgss_sweep import _kalman_mv_gaps, _simulate_mv, CV, SYV, A, SX
+
+    from bayesssm_tpu.ops.lgss_sweep_pallas import lgss_mv_bpf_sweep
+
+    obs_times = (1, 3, 4, 7, 8, 10, 13, 15)
+    gaps = (1, 2, 1, 3, 1, 2, 3, 2)
+    y = _simulate_mv(31, None, obs_times=obs_times)
+    truth = _kalman_mv_gaps(y, gaps)
+    C = 384
+    fn = jax.jit(jax.vmap(
+        lambda k: lgss_mv_bpf_sweep(
+            k, jnp.asarray(y, jnp.float32), 512, A, SX, SYV,
+            c_vec=CV, obs_times=obs_times, resample_algorithm="SISR",
+        )[0]
+    ))
+    ll = np.asarray(fn(jax.random.split(jax.random.key(2), C)), np.float64)
+    assert np.isfinite(ll).all()
+    se = ll.std() / np.sqrt(C)
+    assert abs(ll.mean() - truth) < max(5 * se, 0.15), (ll.mean(), truth)
+
+
+def test_sir_builder_matches_portable_on_device():
+    """The SIR builder instance (Gillespie while_loop INSIDE a builder
+    callback with counter-threaded RNG + packed (S, I) selection + the
+    two-column observation rows) on hardware vs the portable engine."""
+    from bayesssm_tpu.models.sir import (
+        simulate_sir,
+        sir_builder_pf_impl,
+        sir_model,
+    )
+    from bayesssm_tpu.filters.bootstrap import bootstrap_filter
+
+    _, y = simulate_sir(1405, 500, 70, t_max=8)
+    ys = jnp.asarray(y, jnp.float32)
+    pf = sir_builder_pf_impl(500, 70)(
+        y=ys, num_particles=128, param_names=["lam", "gamma"],
+        model_fns=None, obs_times=None, algorithm="BPF",
+        resample_algorithm="SISAR", resample_fn="stratified",
+        carry_weights=False,
+    )
+    theta = jnp.array([0.5, 0.2], jnp.float32)
+    C = 512
+    fn = jax.jit(jax.vmap(lambda k: pf(k, theta)[0]))
+    ll = np.asarray(fn(jax.random.split(jax.random.key(3), C)), np.float64)
+    assert np.isfinite(ll).all()
+    # determinism per key on hardware
+    np.testing.assert_array_equal(
+        np.asarray(fn(jax.random.split(jax.random.key(3), C))), ll
+    )
+    (init_fn, trans_fn, loglik_fn), _, _ = sir_model(
+        500, 70, transition="gillespie_pallas"
+    )
+    fp = jax.jit(jax.vmap(lambda k: bootstrap_filter(
+        k, ys, 128, init_fn, trans_fn, loglik_fn,
+        theta={"lam": 0.5, "gamma": 0.2},
+        return_particles=False).loglike))
+    llp = np.asarray(fp(jax.random.split(jax.random.key(4), C)), np.float64)
+    se = np.hypot(ll.std(), llp.std()) / np.sqrt(C)
+    assert abs(ll.mean() - llp.mean()) < 4 * se + 0.1
