@@ -4,11 +4,20 @@ Python analogue of /root/reference/README.md:96-211 — simulate 20
 observations with phi=0.8, sigma_x=1, sigma_y=0.5, then recover the
 posterior with a bootstrap-filter PMMH (2 chains, pilot-tuned).
 
-Run: python examples/sinusoidal_readme.py
+Run: python examples/sinusoidal_readme.py [--fused]
+``--fused`` routes BOTH PMMH phases through the model's whole-sweep
+builder instance (`sinusoidal_sweep_pf_impl`) — the entire filter in
+one TPU kernel (interpret mode off-TPU); same posterior, fastest path.
 API overview: docs/guide.md; filter variants: docs/filters.md.
 """
 
-from bayesssm_tpu.models.sinusoidal import simulate_sinusoidal, sinusoidal_model
+import sys
+
+from bayesssm_tpu.models.sinusoidal import (
+    simulate_sinusoidal,
+    sinusoidal_model,
+    sinusoidal_sweep_pf_impl,
+)
 from bayesssm_tpu.pmmh.driver import pmmh
 from bayesssm_tpu.pmmh.tuning import default_tune_control
 
@@ -19,10 +28,20 @@ def main():
     )
     _, y = simulate_sinusoidal(seed=1405, t_val=20)
 
+    if "--fused" in sys.argv:
+        from bayesssm_tpu.ops.resampling_pallas import pallas_available
+
+        pf_impl = sinusoidal_sweep_pf_impl(
+            interpret=not pallas_available()
+        )
+    else:
+        pf_impl = None
+
     result = pmmh(
         "bootstrap_filter",
         y,
         m=500,
+        pf_impl=pf_impl,
         init_fn=init_fn,
         transition_fn=transition_fn,
         log_likelihood_fn=log_likelihood_fn,
