@@ -9,7 +9,10 @@ of chains in parallel on TPU meshes.
 Public surface mirrors the reference's exported NAMESPACE
 (/root/reference/NAMESPACE:3-11): pmmh, bootstrap_filter, auxiliary_filter,
 resample_move_filter, default_tune_control, ess, rhat, plus output
-printing/summaries.
+printing/summaries. One beyond-NAMESPACE export: ``build_sweep_pf_impl``,
+the whole-sweep kernel builder — the performance escape hatch this
+framework offers where the reference points users at Rcpp
+(/root/reference/vignettes/articles/detailed-overview.Rmd:401-470).
 """
 
 __version__ = "0.1.0"
@@ -29,6 +32,7 @@ _EXPORTS = {
     "ess": "bayesssm_tpu.diagnostics.ess",
     "rhat": "bayesssm_tpu.diagnostics.rhat",
     "PMMHOutput": "bayesssm_tpu.output",
+    "build_sweep_pf_impl": "bayesssm_tpu.ops.sweep_builder",
 }
 
 __all__ = sorted(_EXPORTS)
