@@ -186,3 +186,52 @@ def test_timings_include_all_phases():
     for phase in ("tuning", "compile", "sampling"):
         assert phase in out.timings, out.timings
         assert out.timings[phase] >= 0.0
+
+
+def test_fast_path_burn_in_edges():
+    """The fast-path chunk schedule (round 5: a no-output burn-in chunk
+    + 256-step emitting chunks) must produce the contracted
+    [C, m - burn_in] chains at every burn-in edge, including m that
+    spans a 256 boundary."""
+    (fns, log_priors, transform) = lgss_model()
+    init_fn, trans_fn, loglik_fn = fns
+    _, y = simulate_lgss(31, t_val=6)
+    for m, burn_in in ((12, 0), (12, 1), (12, 11), (300, 20), (2, 1)):
+        out = quiet_pmmh(
+            pf_wrapper="bootstrap_filter", y=y, m=m,
+            init_fn=init_fn, transition_fn=trans_fn,
+            log_likelihood_fn=loglik_fn, log_priors=log_priors,
+            pilot_init_params=[
+                {"a": 0.5, "sigma_x": 0.5, "sigma_y": 0.5}
+            ] * 2,
+            burn_in=burn_in, num_chains=2, seed=5,
+            param_transform=transform, tune_control=FAST_TUNE,
+        )
+        for p in out.theta_chain:
+            assert out.theta_chain[p].shape == (2, m - burn_in), (
+                m, burn_in, out.theta_chain[p].shape
+            )
+            assert np.isfinite(out.theta_chain[p]).all()
+
+
+def test_fast_path_matches_progress_path():
+    """The no-output burn-in chunk variant and the chunked
+    progress-reporting path must sample identical chains for the same
+    seed (the schedule changes which programs run, not the math)."""
+    (fns, log_priors, transform) = lgss_model()
+    init_fn, trans_fn, loglik_fn = fns
+    _, y = simulate_lgss(33, t_val=6)
+    kw = dict(
+        pf_wrapper="bootstrap_filter", y=y, m=40,
+        init_fn=init_fn, transition_fn=trans_fn,
+        log_likelihood_fn=loglik_fn, log_priors=log_priors,
+        pilot_init_params=[{"a": 0.5, "sigma_x": 0.5, "sigma_y": 0.5}] * 2,
+        burn_in=10, num_chains=2, seed=9,
+        param_transform=transform, tune_control=FAST_TUNE,
+    )
+    fast = quiet_pmmh(**kw)
+    chunked = quiet_pmmh(progress_every=7, verbose=False, **kw)
+    for p in fast.theta_chain:
+        np.testing.assert_array_equal(
+            fast.theta_chain[p], chunked.theta_chain[p]
+        )
