@@ -482,6 +482,17 @@ def pmmh(
         theta_prop = back_transform_params(zp, transforms)
         lp_prop = sum_log_priors(theta_prop, prior_fns)
         ll_prop, se_prop = pf(k_pf, theta_prop, n=n_chain)
+        if not return_latent_state_est:
+            # The state-estimate trajectory is pure payload — it never
+            # feeds back into the chain. When it is not requested, carry
+            # a scalar dummy so XLA dead-code-eliminates the whole
+            # [T+1, d] consumer chain (the per-step accept-select, the
+            # scan-carry copies, and the kernel output's stack relayout
+            # — measured part of the public driver's per-step overhead
+            # vs the raw loop, scripts/probe_e2e_residual.py). Derived
+            # from ll_prop (not a fresh constant) so it inherits the
+            # chains sharding under a mesh.
+            se_prop = ll_prop * 0.0
         log_ratio = (
             ll_prop + lp_prop
             + log_jacobian(theta_prop, transforms, jacobian_convention)
@@ -505,6 +516,8 @@ def pmmh(
             key = jax.random.fold_in(root_key, cid)
             key, k0 = jax.random.split(key)
             ll0, se0 = pf(k0, th.astype(jnp.float32), n=n)
+            if not return_latent_state_est:
+                se0 = ll0 * 0.0  # sharding-inheriting dummy (see mh_step)
             return key, th.astype(jnp.float32), ll0, se0
 
         return jax.vmap(one)(cids, th_means, n_chains)
