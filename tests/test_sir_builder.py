@@ -169,3 +169,39 @@ def test_pmmh_pf_impl_hook(ys):
     for p, chain in out.theta_chain.items():
         assert chain.shape == (2, 12), (p, chain.shape)
         assert np.isfinite(chain).all(), p
+
+
+def test_obs_times_gaps_match_portable(ys):
+    """Irregular observation grid through the builder's in-kernel gap
+    loop vs the portable engine's gap loop
+    (/root/reference/R/particle_filter_core.R:122-137) — same sampling
+    distribution (the SIR transition is time-homogeneous, so the gap
+    semantics are purely 'how many Gillespie days per observation')."""
+    obs_times = [1, 3, 4, 6, 8, 9]
+    y_g = ys[: len(obs_times)]
+    c = 128
+    pf = sir_builder_pf_impl(N_TOTAL, I0, interpret=True)(
+        y=y_g, num_particles=N, param_names=["lam", "gamma"],
+        model_fns=None, obs_times=obs_times, algorithm="BPF",
+        resample_algorithm="SISAR", resample_fn="stratified",
+        carry_weights=False,
+    )
+    theta = jnp.array([LAM, GAM], jnp.float32)
+    keys = jax.random.split(jax.random.key(51), c)
+    ll_b, es_b = jax.jit(jax.vmap(lambda k: pf(k, theta)))(keys)
+
+    (init_fn, trans_fn, loglik_fn), _, _ = sir_model(N_TOTAL, I0)
+    keys2 = jax.random.split(jax.random.key(52), c)
+    res = jax.jit(jax.vmap(
+        lambda k: bootstrap_filter(
+            k, y_g, N, init_fn, trans_fn, loglik_fn,
+            theta={"lam": LAM, "gamma": GAM}, obs_times=obs_times,
+            return_particles=False,
+        ).loglike
+    ))(keys2)
+    assert bool(jnp.isfinite(ll_b).all())
+    assert es_b.shape == (c, len(obs_times) + 1, 2)
+    se_tol = 4.0 * float(
+        np.hypot(np.std(np.asarray(ll_b)), np.std(np.asarray(res)))
+    ) / np.sqrt(c)
+    assert abs(float(ll_b.mean() - res.mean())) < max(se_tol, 0.25)
