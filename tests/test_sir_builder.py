@@ -104,14 +104,24 @@ def test_matches_portable(ys, algorithm):
     _match(ll_b, es_b, ll_c, es_c, c)
 
 
-def test_matches_bespoke_sweep(ys):
+def test_sweep_pf_impl_is_builder_backed(ys):
+    """Since the round-5 consolidation the legacy name and the builder
+    factory are the SAME callable; the direct sir_filter_sweep entry
+    (build_sweep_op wiring, not the pf_impl route) must sample the same
+    distribution."""
+    from bayesssm_tpu.ops.sir_sweep_pallas import sir_filter_sweep
+
+    assert sir_sweep_pf_impl is sir_builder_pf_impl
     c = 128
     ll_b, es_b = _impl_batch(
         sir_builder_pf_impl(N_TOTAL, I0, interpret=True), ys, c, key=4
     )
-    ll_k, es_k = _impl_batch(
-        sir_sweep_pf_impl(N_TOTAL, I0, interpret=True), ys, c, key=5
-    )
+    keys = jax.random.split(jax.random.key(5), c)
+    ll_k, es_k = jax.jit(jax.vmap(
+        lambda k: sir_filter_sweep(
+            k, ys, N, LAM, GAM, N_TOTAL, I0, interpret=True
+        )
+    ))(keys)
     _match(ll_b, es_b, ll_k, es_k, c)
 
 
