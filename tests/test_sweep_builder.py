@@ -230,3 +230,30 @@ def test_pf_impl_validation(ys):
         pf_impl(
             **{**kw, "obs_times": list(range(len(ys), 0, -1))}
         )
+
+
+def test_gap_times_are_absolute_transition_indices():
+    """The gapped day loop must call transition_fn with the absolute
+    0-based transition index (times[t] - gap + s), reducing to the day
+    index on a contiguous grid. A deterministic transition x += t makes
+    the state estimate reveal exactly which times were used."""
+
+    def init(rng, th):
+        return (jnp.zeros_like(th[0]),)
+
+    def trans(rng, cols, th, t):
+        return (cols[0] + jnp.asarray(t, jnp.float32),)
+
+    def lw(cols, th, y_t):
+        return jnp.zeros_like(cols[0])  # flat weights: no resampling
+
+    op = build_sweep_op(
+        1, init, trans, lw, 1, interpret=True,
+        obs_gaps=(2, 3),  # obs_times (2, 5): transitions at t=0,1 | 2,3,4
+    )
+    _, est = op(
+        jax.random.key(0), np.zeros(2, np.float32),
+        jnp.zeros(1), 128,
+    )
+    # est[0] = init state 0; est[1] = 0+1 = 1; est[2] = 1+2+3+4 = 10.
+    np.testing.assert_allclose(np.asarray(est), [0.0, 1.0, 10.0], atol=1e-5)
