@@ -41,7 +41,8 @@ _HALF_LOG_2PI = np.float32(0.5 * np.log(2.0 * np.pi))
 
 @functools.lru_cache(maxsize=None)
 def _lgss_op(c_coef: float, p0: float, resample_fn: str,
-             always_resample: bool, interpret: bool):
+             always_resample: bool, never_resample: bool,
+             interpret: bool):
     c32 = np.float32(c_coef)
     p032 = np.float32(p0)
 
@@ -59,7 +60,8 @@ def _lgss_op(c_coef: float, p0: float, resample_fn: str,
 
     return build_sweep_op(
         1, init, trans, lw, 3, resample_fn=resample_fn,
-        always_resample=always_resample, interpret=interpret,
+        always_resample=always_resample,
+        never_resample=never_resample, interpret=interpret,
     )
 
 
@@ -87,8 +89,8 @@ def lgss_bpf_sweep(
     tests/test_lgss_sweep.py). Selection is merge-only, so
     ``resample_fn`` must be stratified or systematic.
     """
-    if resample_algorithm not in ("SISR", "SISAR"):
-        raise ValueError("lgss_bpf_sweep supports SISR or SISAR only")
+    if resample_algorithm not in ("SIS", "SISR", "SISAR"):
+        raise ValueError("lgss_bpf_sweep supports SIS, SISR or SISAR")
     if resample_fn not in ("stratified", "systematic"):
         raise ValueError(
             "lgss_bpf_sweep resamples through the merge network and "
@@ -96,7 +98,8 @@ def lgss_bpf_sweep(
         )
     op = _lgss_op(
         float(c), float(p0), resample_fn,
-        resample_algorithm == "SISR", bool(interpret),
+        resample_algorithm == "SISR", resample_algorithm == "SIS",
+        bool(interpret),
     )
     theta_vec = jnp.stack([
         jnp.asarray(a, jnp.float32).reshape(()),

@@ -214,7 +214,7 @@ def sir_sweep_parts(
 
 @functools.lru_cache(maxsize=None)
 def _sir_op(n_total, init_infected, unroll, method, always_resample,
-            algorithm, move_step_max, interpret):
+            never_resample, algorithm, move_step_max, interpret):
     from bayesssm_tpu.ops.sweep_builder import build_sweep_op
 
     parts = sir_sweep_parts(
@@ -229,6 +229,7 @@ def _sir_op(n_total, init_infected, unroll, method, always_resample,
         ),
         move_fn=parts["move_fn"] if algorithm == "RMPF" else None,
         resample_fn=method, always_resample=always_resample,
+        never_resample=never_resample,
         interpret=interpret, num_obs_cols=2,
         **parts["pack_kw"],
     )
@@ -271,8 +272,10 @@ def sir_filter_sweep(
     """
     if algorithm not in ("BPF", "APF", "RMPF"):
         raise ValueError("algorithm must be one of ('BPF', 'APF', 'RMPF')")
-    if resample_algorithm not in ("SISR", "SISAR"):
-        raise ValueError("sir_filter_sweep supports SISR or SISAR only")
+    if resample_algorithm not in ("SIS", "SISR", "SISAR"):
+        raise ValueError(
+            "sir_filter_sweep supports SIS, SISR or SISAR"
+        )
     if resample_fn not in ("stratified", "systematic", "multinomial"):
         raise ValueError(f"unknown resample_fn {resample_fn!r}")
     if selection not in ("auto", "merge"):
@@ -294,6 +297,7 @@ def sir_filter_sweep(
     op = _sir_op(
         int(n_total), int(init_infected), int(unroll), resample_fn,
         algorithm == "RMPF" or resample_algorithm == "SISR",
+        resample_algorithm == "SIS" and algorithm != "RMPF",
         algorithm, int(move_step_max), bool(interpret),
     )
     from jax.scipy.special import gammaln

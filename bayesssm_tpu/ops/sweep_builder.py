@@ -146,7 +146,7 @@ def _chains_per_program(c: int, n: int, d: int) -> int:
 def _make_kernel(n, num_obs, d, p, init_fn, transition_fn, log_weight_fn,
                  aux_log_weight_fn, move_fn, method, always_resample,
                  software_prng, d_y=1, pack_fn=None, unpack_fn=None,
-                 gapped=False):
+                 gapped=False, never_resample=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -383,20 +383,29 @@ def _make_kernel(n, num_obs, d, p, init_fn, transition_fn, log_weight_fn,
             ess = 1.0 / jnp.sum(w * w, axis=-1, keepdims=True)
             loglike = loglike + mx + jnp.log(ssum) - jnp.log(alive_ct)
 
-            pos = draw_positions(rng)
-            res, _ = select_state(w, pos, cols)
-
-            if always_resample:
-                cols = res
-                est_w = jnp.where(alive_mask, 1.0 / alive_ct, 0.0)
+            if never_resample:
+                # SIS day: no selection at all (the fresh-weight SIS of
+                # the portable core with carry_weights=False — quirk
+                # territory, matching particle_filter_core.R's SIS
+                # branch under the reference's fresh-weight semantics).
+                est_w = w
             else:
-                do_rows = jnp.broadcast_to(ess < thr, (b, n))
-                cols = tuple(
-                    jnp.where(do_rows, r, c) for r, c in zip(res, cols)
-                )
-                est_w = jnp.where(
-                    do_rows, jnp.where(alive_mask, 1.0 / alive_ct, 0.0), w
-                )
+                pos = draw_positions(rng)
+                res, _ = select_state(w, pos, cols)
+
+                if always_resample:
+                    cols = res
+                    est_w = jnp.where(alive_mask, 1.0 / alive_ct, 0.0)
+                else:
+                    do_rows = jnp.broadcast_to(ess < thr, (b, n))
+                    cols = tuple(
+                        jnp.where(do_rows, r, c)
+                        for r, c in zip(res, cols)
+                    )
+                    est_w = jnp.where(
+                        do_rows,
+                        jnp.where(alive_mask, 1.0 / alive_ct, 0.0), w,
+                    )
 
             if move_fn is not None:
                 moved = tuple(move_fn(rng, cols, theta, y_t))
@@ -431,7 +440,7 @@ def _batched_call(seeds, thetas, alive, thr, y, *, n_static, d, init_fn,
                   transition_fn, log_weight_fn, aux_log_weight_fn,
                   move_fn, method, always_resample, interpret,
                   d_y=1, pack_fn=None, unpack_fn=None, num_packed_cols=1,
-                  gaps=None):
+                  gaps=None, never_resample=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -464,6 +473,7 @@ def _batched_call(seeds, thetas, alive, thr, y, *, n_static, d, init_fn,
         aux_log_weight_fn, move_fn, method, bool(always_resample),
         bool(interpret), d_y=int(d_y), pack_fn=pack_fn,
         unpack_fn=unpack_fn, gapped=gapped,
+        never_resample=bool(never_resample),
     )
     space = pl.ANY if interpret else pltpu.VMEM
     smem = pl.ANY if interpret else pltpu.SMEM
@@ -537,6 +547,7 @@ def build_sweep_op(
     move_fn=None,
     resample_fn: str = "stratified",
     always_resample: bool = False,
+    never_resample: bool = False,
     interpret: bool = False,
     num_obs_cols: int = 1,
     pack_fn=None,
@@ -576,6 +587,10 @@ def build_sweep_op(
         )
     if (pack_fn is None) != (unpack_fn is None):
         raise ValueError("pack_fn and unpack_fn must be given together")
+    if always_resample and never_resample:
+        raise ValueError(
+            "always_resample and never_resample are mutually exclusive"
+        )
     if obs_gaps is not None:
         obs_gaps = tuple(int(g) for g in obs_gaps)
         if any(g < 1 for g in obs_gaps):
@@ -589,6 +604,7 @@ def build_sweep_op(
         transition_fn=transition_fn, log_weight_fn=log_weight_fn,
         aux_log_weight_fn=aux_log_weight_fn, move_fn=move_fn,
         method=resample_fn, always_resample=bool(always_resample),
+        never_resample=bool(never_resample),
         interpret=bool(interpret), d_y=d_y, pack_fn=pack_fn,
         unpack_fn=unpack_fn, num_packed_cols=int(num_packed_cols),
         gaps=obs_gaps,
@@ -701,7 +717,8 @@ def build_sweep_pf_impl(
 
     ``param_names`` fixes the order of the ``theta`` tuple the callbacks
     receive. Supports BPF (plus APF when ``aux_log_weight_fn`` is given
-    and RMPF when ``move_fn`` is given), fresh-weight SISR/SISAR,
+    and RMPF when ``move_fn`` is given), fresh-weight SIS/SISR/SISAR
+    (SIS compiles a never-resample day that skips selection entirely),
     stratified/systematic resampling, multivariate observation rows
     (``num_obs_cols``), irregular ``obs_times`` (static gap counts,
     compiled into the kernel's day loop), and optional selection
@@ -765,9 +782,13 @@ def build_sweep_pf_impl(
                 f"sweep builder built for parameters {expected_params}, "
                 f"driver passed {tuple(param_names)}"
             )
+        # RMPF strips any user resample_algorithm and forces SISR
+        # (/root/reference/R/resample_move_filter.R:213-230), so SIS
+        # only survives outside RMPF.
         always = (
             algorithm == "RMPF" or resample_algorithm == "SISR"
         )
+        never = resample_algorithm == "SIS" and algorithm != "RMPF"
         op = build_sweep_op(
             num_state_cols, init_fn, transition_fn, log_weight_fn,
             len(expected_params),
@@ -776,6 +797,7 @@ def build_sweep_pf_impl(
             ),
             move_fn=move_fn if algorithm == "RMPF" else None,
             resample_fn=resample_fn, always_resample=always,
+            never_resample=never,
             interpret=interpret, num_obs_cols=num_obs_cols,
             pack_fn=pack_fn, unpack_fn=unpack_fn,
             num_packed_cols=num_packed_cols, obs_gaps=obs_gaps,

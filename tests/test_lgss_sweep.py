@@ -113,9 +113,9 @@ def test_validation(ys):
     with pytest.raises(ValueError, match="sorted positions"):
         lgss_bpf_sweep(jax.random.key(0), ys, N, A, SX, SY,
                        resample_fn="multinomial", interpret=True)
-    with pytest.raises(ValueError, match="SISR or SISAR"):
+    with pytest.raises(ValueError, match="SIS, SISR or SISAR"):
         lgss_bpf_sweep(jax.random.key(0), ys, N, A, SX, SY,
-                       resample_algorithm="SIS", interpret=True)
+                       resample_algorithm="bogus", interpret=True)
     with pytest.raises(ValueError, match="power of two"):
         lgss_bpf_sweep(jax.random.key(0), ys, 100, A, SX, SY,
                        interpret=True)
@@ -259,3 +259,32 @@ def test_gapped_state_est_shape():
     ll, est = _mv_batch(y, 4, key=24, obs_times=obs_times)
     assert est.shape == (4, len(obs_times) + 1)
     assert bool(jnp.isfinite(est).all())
+
+
+def test_sis_never_resamples_matches_portable(ys):
+    """SIS through the whole-sweep builder (round 5: a static
+    never-resample day that skips selection entirely) vs the portable
+    engine's SIS branch — same fresh-weight sampling distribution."""
+    c = 160
+    keys = jax.random.split(jax.random.key(61), c)
+    ll_s, _ = jax.jit(jax.vmap(
+        lambda k: lgss_bpf_sweep(
+            k, ys, N, A, SX, SY, resample_algorithm="SIS",
+            interpret=True,
+        )
+    ))(keys)
+
+    (init_fn, trans_fn, loglik_fn), _, _ = lgss_model()
+    keys2 = jax.random.split(jax.random.key(62), c)
+    ll_c = jax.jit(jax.vmap(
+        lambda k: bootstrap_filter(
+            k, ys, N, init_fn, trans_fn, loglik_fn,
+            theta={"a": A, "sigma_x": SX, "sigma_y": SY},
+            resample_algorithm="SIS", return_particles=False,
+        ).loglike
+    ))(keys2)
+    assert bool(jnp.isfinite(ll_s).all())
+    se_tol = 4.0 * float(
+        np.hypot(np.std(np.asarray(ll_s)), np.std(np.asarray(ll_c)))
+    ) / np.sqrt(c)
+    assert abs(float(ll_s.mean() - ll_c.mean())) < max(se_tol, 0.1)

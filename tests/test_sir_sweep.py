@@ -289,9 +289,9 @@ def test_pf_impl_factory_validation(ys):
 
 
 def test_validation_errors(ys):
-    with pytest.raises(ValueError, match="SISR or SISAR"):
+    with pytest.raises(ValueError, match="SIS, SISR or SISAR"):
         sir_bpf_sweep(jax.random.key(0), ys, N, LAM, GAM, N_TOTAL, I0,
-                      resample_algorithm="SIS", interpret=True)
+                      resample_algorithm="bogus", interpret=True)
     with pytest.raises(ValueError, match="power of two"):
         sir_bpf_sweep(jax.random.key(0), ys, 100, LAM, GAM, N_TOTAL, I0,
                       interpret=True)
