@@ -163,6 +163,16 @@ def _resolve_obs_times(obs_times, num_obs: int) -> np.ndarray:
     return ot
 
 
+def obs_times_to_gaps(obs_times, num_obs: int) -> tuple:
+    """Static per-observation transition counts from observation times
+    (validated with the reference contract): ``gaps[i] = ot[i] - ot[i-1]``
+    with an implicit ``ot[-1] = 0`` — the fused sweep builder's compiled
+    form of the gap-propagation loop
+    (/root/reference/R/particle_filter_core.R:122-137)."""
+    ot = _resolve_obs_times(obs_times, num_obs)
+    return tuple(np.diff(ot, prepend=0).tolist())
+
+
 def particle_filter_core(
     key: jax.Array,
     y,

@@ -199,6 +199,7 @@ def sir_builder_pf_impl(
     unroll: int = 8,
     move_step_max: int = 2,
     interpret: bool = False,
+    pack: bool = True,
 ):
     """PMMH ``pf_impl`` factory routing the SIR filter through the fused
     whole-sweep path — a sweep-builder instance over
@@ -222,7 +223,7 @@ def sir_builder_pf_impl(
 
     parts = sir_sweep_parts(
         n_total, init_infected, unroll=unroll,
-        move_step_max=move_step_max,
+        move_step_max=move_step_max, pack=pack,
     )
     return build_sweep_pf_impl(
         2, parts["init_fn"], parts["transition_fn"],

@@ -176,10 +176,9 @@ def lgss_mv_bpf_sweep(
     c1, c2 = (float(v) for v in c_vec)
     sy1, sy2 = (jnp.asarray(v, jnp.float32).reshape(()) for v in sigma_y_vec)
     if obs_times is not None:
-        from bayesssm_tpu.filters.core import _resolve_obs_times
+        from bayesssm_tpu.filters.core import obs_times_to_gaps
 
-        ot = _resolve_obs_times(obs_times, int(jnp.asarray(y).shape[0]))
-        obs_gaps = tuple(np.diff(ot, prepend=0).tolist())
+        obs_gaps = obs_times_to_gaps(obs_times, int(jnp.asarray(y).shape[0]))
     else:
         obs_gaps = None
     op = _lgss_mv_op(

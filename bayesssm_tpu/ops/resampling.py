@@ -100,6 +100,11 @@ def metropolis_resample_indices(
     calibrated = max(256, n // 8)
     if num_steps is None:
         num_steps = calibrated
+    elif num_steps < 1:
+        raise ValueError(
+            f"num_steps must be >= 1 (got {num_steps}); a zero-length "
+            "Metropolis chain would return the identity resample"
+        )
     elif num_steps < calibrated:
         import warnings
 

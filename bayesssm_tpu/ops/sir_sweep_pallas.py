@@ -64,6 +64,7 @@ def sir_sweep_parts(
     init_infected: int,
     unroll: int = 8,
     move_step_max: int = 2,
+    pack: bool = True,
 ):
     """The SIR model as sweep-builder callbacks.
 
@@ -177,7 +178,7 @@ def sir_sweep_parts(
         accept = jnp.logical_and(in_support, jnp.log(u[1]) < log_ratio)
         return (s, jnp.where(accept, i_prop, i))
 
-    if float(n_total) <= _PACK - 2.0:
+    if pack and float(n_total) <= _PACK - 2.0:
         pack = np.float32(_PACK)
 
         def pack_fn(cols):

@@ -267,22 +267,19 @@ def _make_kernel(n, num_obs, d, p, init_fn, transition_fn, log_weight_fn,
             out = merge_select_cols(cdf_ext, pos, carries, v0s, lane, roll)
             return tuple(jnp.where(alive_mask, o, 0.0) for o in out)
 
-        def select_state(w, pos, cols, extra=()):
+        def select_state(w, pos, cols):
             """Selection with optional column packing: route
             ``pack_fn(cols)`` (fewer columns through the merge network,
-            e.g. two integer counts packed into one f32 lane) plus any
-            ``extra`` columns, unpack the state part, re-mask. Returns
-            ``(selected_cols, selected_extra)``."""
+            e.g. two integer counts packed into one f32 lane), unpack,
+            re-mask."""
             route = tuple(pack_fn(cols)) if pack_fn is not None else cols
-            nr = len(route)
-            out = select(w, pos, route + tuple(extra))
-            sel = out[:nr]
+            sel = select(w, pos, route)
             if unpack_fn is not None:
                 sel = tuple(
                     jnp.where(alive_mask, o, 0.0)
                     for o in unpack_fn(sel)
                 )
-            return sel, out[nr:]
+            return sel
 
         rng = SweepRng(draw)
         cols = tuple(init_fn(rng, theta))
@@ -350,7 +347,7 @@ def _make_kernel(n, num_obs, d, p, init_fn, transition_fn, log_weight_fn,
                 sha = jnp.exp(aux_lw - mxa)
                 wa = sha / jnp.sum(sha, axis=-1, keepdims=True)
                 pos_a = draw_positions(rng)
-                cols, _ = select_state(wa, pos_a, cols)
+                cols = select_state(wa, pos_a, cols)
                 # Ancestor aux weight RECOMPUTED from the selected state
                 # instead of routed as an extra merge column: selection
                 # copies (and pack/unpack) are exact, and the aux weight
@@ -391,7 +388,7 @@ def _make_kernel(n, num_obs, d, p, init_fn, transition_fn, log_weight_fn,
                 est_w = w
             else:
                 pos = draw_positions(rng)
-                res, _ = select_state(w, pos, cols)
+                res = select_state(w, pos, cols)
 
                 if always_resample:
                     cols = res
@@ -759,17 +756,11 @@ def build_sweep_pf_impl(
         if algorithm == "RMPF" and move_fn is None:
             raise ValueError("RMPF requires the builder's move_fn")
         if obs_times is not None:
-            # Static gap counts (one transition run per unit time,
-            # /root/reference/R/particle_filter_core.R:122-137), with the
-            # same validation contract as the portable core.
-            import numpy as np
+            from bayesssm_tpu.filters.core import obs_times_to_gaps
 
-            from bayesssm_tpu.filters.core import _resolve_obs_times
-
-            ot = _resolve_obs_times(
+            obs_gaps = obs_times_to_gaps(
                 obs_times, int(jnp.asarray(y).shape[0])
             )
-            obs_gaps = tuple(np.diff(ot, prepend=0).tolist())
         else:
             obs_gaps = None
         if carry_weights:
@@ -777,11 +768,17 @@ def build_sweep_pf_impl(
                 "the sweep builder implements the reference fresh-weight "
                 "semantics (carry_weights=False)"
             )
-        if tuple(param_names) != expected_params:
+        if set(param_names) != set(expected_params):
             raise ValueError(
                 f"sweep builder built for parameters {expected_params}, "
                 f"driver passed {tuple(param_names)}"
             )
+        # The callbacks see theta ordered as the BUILDER's param_names;
+        # the driver passes theta_vec in ITS param order (whatever order
+        # the user's log_priors dict iterates). Permute instead of
+        # demanding exact order — the pre-consolidation SIR factory
+        # accepted any order and this keeps that contract.
+        perm = tuple(param_names.index(q) for q in expected_params)
         # RMPF strips any user resample_algorithm and forces SISR
         # (/root/reference/R/resample_move_filter.R:213-230), so SIS
         # only survives outside RMPF.
@@ -807,6 +804,9 @@ def build_sweep_pf_impl(
             ys = jnp.asarray(obs_transform(ys), jnp.float32)
 
         def pf(key, theta_vec, n=num_particles):
+            theta_vec = jnp.asarray(theta_vec)
+            if perm != tuple(range(len(perm))):
+                theta_vec = theta_vec[jnp.array(perm)]
             return op(
                 key, ys, theta_vec, n,
                 max_particles=max_particles

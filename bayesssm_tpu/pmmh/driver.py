@@ -132,7 +132,13 @@ def _particle_lane_bound(max_n: int) -> int:
     (ops/merge_select.py contract); a composite bound like 384 would
     silently lose the O(N log N) fast path. Masked lanes keep each
     chain at its own tuned target_n (Q9), so the padding choice is
-    statistically invisible.
+    statistically invisible. Accepted trade-off: paths that never touch
+    the merge network (the portable engine, multinomial per-day
+    resampling) pay up to ~1.6x extra masked-lane compute vs a
+    128-multiple bound in the worst case (e.g. tuned 520 -> 1024 vs
+    640); the fused path is the default and the common case, and
+    conditioning the bound on downstream path selection would couple
+    the driver to pf/kernel internals.
     """
     bound = 128
     while bound < max_n:
@@ -581,6 +587,23 @@ def pmmh(
         cur_theta = jnp.asarray(resume_state["theta"])
         cur_ll = jnp.asarray(resume_state["loglike"])
         cur_se = jnp.asarray(resume_state["state_est"])
+        # A snapshot records latent-state history only when the run that
+        # wrote it collected it; resuming with a DIFFERENT
+        # return_latent_state_est cannot reconstruct the missing history
+        # (and the carried state_est aval would disagree with the new
+        # program). Reject the flag flip explicitly instead of failing
+        # deep inside the scan trace.
+        if return_latent_state_est and "state_samples" not in resume_state:
+            raise ValueError(
+                "resume=True with return_latent_state_est=True, but the "
+                "checkpoint was written without latent-state collection; "
+                "resume with return_latent_state_est=False or restart"
+            )
+        if not return_latent_state_est:
+            # The sampling carry uses a scalar dummy in this mode
+            # (mh_step); drop any full state_est a True-mode snapshot
+            # stored so the carry aval matches.
+            cur_se = cur_ll * 0.0
         theta_samples = [np.asarray(resume_state["samples"])]
         state_samples = (
             [np.asarray(resume_state["state_samples"])]
@@ -684,6 +707,10 @@ def pmmh(
             # Only the post-burn-in slice ever reaches the host output
             # (checkpointing is off, so nothing needs the burned prefix);
             # slicing on DEVICE trims the transfer before it starts.
+            # NOTE: with the burn-aligned schedule above, emitting chunks
+            # always start at/after the burn-in boundary, so keep_from is
+            # <= 0 here; the trim is kept as defense in depth should the
+            # schedule ever change.
             keep_from = burn_in - (steps_done - length)
             if keep_from >= length:
                 thetas = None

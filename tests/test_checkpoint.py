@@ -85,3 +85,38 @@ def test_checkpoint_roundtrip(tmp_path):
         jax.random.key_data(state["keys"]), jax.random.key_data(keys)
     )
     np.testing.assert_array_equal(state["meta"]["target_n"], [50, 60, 70, 80])
+
+
+def test_resume_latent_flag_flip_rejected(tmp_path):
+    """A snapshot written without latent-state collection cannot seed a
+    latent-collecting resume (the history would be missing); the driver
+    rejects the flag flip with a clear message instead of failing in
+    the scan trace."""
+    ck = tmp_path / "state.npz"
+    run(m=30, checkpoint_every=30, checkpoint_path=str(ck))
+    with pytest.raises(ValueError, match="latent-state"):
+        run(
+            m=80, checkpoint_path=str(ck), resume=True,
+            checkpoint_every=25, return_latent_state_est=True,
+        )
+
+
+def test_resume_false_from_latent_checkpoint_works(tmp_path):
+    """The reverse flip (True-mode snapshot, False-mode resume) is
+    sound — the full state_est is simply dropped for the scalar-dummy
+    carry — and must bit-match an uninterrupted False-mode run? No:
+    the RNG stream is identical either way (the latent flag never
+    touches the chain), so theta chains match the True-mode resume."""
+    ck = tmp_path / "state.npz"
+    run(
+        m=30, checkpoint_every=30, checkpoint_path=str(ck),
+        return_latent_state_est=True,
+    )
+    resumed = run(
+        m=80, checkpoint_path=str(ck), resume=True, checkpoint_every=25,
+    )
+    full = run(m=80)
+    for p in full.theta_chain:
+        np.testing.assert_array_equal(
+            full.theta_chain[p], resumed.theta_chain[p]
+        )

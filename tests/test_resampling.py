@@ -340,3 +340,11 @@ class TestMetropolisBias:
             metropolis_resample_indices(
                 jax.random.key(0), w, num_steps=32
             )
+
+
+def test_metropolis_zero_steps_rejected():
+    from bayesssm_tpu.ops.resampling import metropolis_resample_indices
+
+    w = jnp.full((8,), 0.125)
+    with pytest.raises(ValueError, match="num_steps"):
+        metropolis_resample_indices(jax.random.key(0), w, num_steps=0)

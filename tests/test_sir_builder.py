@@ -136,24 +136,22 @@ def test_deterministic_per_key(ys):
     np.testing.assert_array_equal(np.asarray(es1), np.asarray(es2))
 
 
-class _BigInt(int):
-    """Reports > 4094 to the packing gate while keeping its value for
-    the dynamics — forces the raw two-column selection route."""
-
-    def __le__(self, other):
-        return False
-
-
 def test_unpacked_route_matches(ys):
     """Packing is purely a selection-throughput optimization: the
-    packed (S, I) route and the raw two-column route must sample the
-    same distribution."""
+    packed (S, I) route and the raw two-column route (pack=False — the
+    path large populations take) must sample the same distribution."""
+    from bayesssm_tpu.ops.sir_sweep_pallas import sir_sweep_parts
+
+    # The switch really disables packing (a review found an earlier
+    # version of this test exercised the packed route twice).
+    assert sir_sweep_parts(N_TOTAL, I0, pack=False)["pack_kw"] == {}
+    assert sir_sweep_parts(N_TOTAL, I0)["pack_kw"] != {}
     c = 96
     ll_p, es_p = _impl_batch(
         sir_builder_pf_impl(N_TOTAL, I0, interpret=True), ys, c, key=7
     )
     ll_u, es_u = _impl_batch(
-        sir_builder_pf_impl(_BigInt(N_TOTAL), I0, interpret=True),
+        sir_builder_pf_impl(N_TOTAL, I0, interpret=True, pack=False),
         ys, c, key=8,
     )
     _match(ll_p, es_p, ll_u, es_u, c)
@@ -215,3 +213,27 @@ def test_obs_times_gaps_match_portable(ys):
         np.hypot(np.std(np.asarray(ll_b)), np.std(np.asarray(res)))
     ) / np.sqrt(c)
     assert abs(float(ll_b.mean() - res.mean())) < max(se_tol, 0.25)
+
+
+def test_param_names_any_order(ys):
+    """The factory accepts the driver's param order (whatever order the
+    user's log_priors dict iterates) and permutes theta onto the
+    builder's canonical order — for the same key the two orderings are
+    BIT-identical (review regression: the consolidation briefly
+    narrowed this to exact-order)."""
+    kw = dict(
+        y=ys, num_particles=N, model_fns=None, obs_times=None,
+        algorithm="BPF", resample_algorithm="SISAR",
+        resample_fn="stratified", carry_weights=False,
+    )
+    pf_fwd = sir_builder_pf_impl(N_TOTAL, I0, interpret=True)(
+        param_names=["lam", "gamma"], **kw
+    )
+    pf_rev = sir_builder_pf_impl(N_TOTAL, I0, interpret=True)(
+        param_names=["gamma", "lam"], **kw
+    )
+    key = jax.random.key(71)
+    ll_f, es_f = pf_fwd(key, jnp.array([LAM, GAM], jnp.float32))
+    ll_r, es_r = pf_rev(key, jnp.array([GAM, LAM], jnp.float32))
+    np.testing.assert_array_equal(np.asarray(ll_f), np.asarray(ll_r))
+    np.testing.assert_array_equal(np.asarray(es_f), np.asarray(es_r))
